@@ -1,0 +1,97 @@
+"""Per-partition high-watermark checkpoint store.
+
+The analog of the reference's metadata backend: a tiny keyed table of
+``partition_id -> (hwm_seqno, commit_epoch)`` saved **dirty-only** (only
+partitions touched in the epoch are rewritten — write elision,
+/root/reference/kafka/metadata/kafka_metadata.go:29-31), loaded
+**last-write-wins** with **empty-document backfill** for unseen partitions
+(kafka_metadata.go:104-126).
+
+The reference stores these as JSON docs in a compacted Kafka topic — O(live
+keys) state, not O(history). Ours is a single parquet file swapped atomically
+(the table is at most #partitions rows: 1024 at Couchbase scale — driver-side
+pandas, never a Spark job; spending a distributed job on a 1 KB table would
+be the wrong side of the driver/executor split)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+
+_STATE = "checkpoints.parquet"
+_META = "_ckpt_meta.json"
+
+
+class CheckpointStore:
+    def __init__(self, path: str) -> None:
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _state_path(self) -> str:
+        return os.path.join(self.path, _STATE)
+
+    def load(self) -> pd.DataFrame:
+        """Current HWM per partition (LWW state). Columns:
+        partition_id:int32, hwm_seqno:int64, commit_epoch:int64."""
+        p = self._state_path()
+        if not os.path.exists(p):
+            return pd.DataFrame(
+                {"partition_id": pd.Series(dtype="int32"),
+                 "hwm_seqno": pd.Series(dtype="int64"),
+                 "commit_epoch": pd.Series(dtype="int64")}
+            )
+        return pd.read_parquet(p)
+
+    def load_backfilled(self, all_partitions: list[int]) -> pd.DataFrame:
+        """LWW load + empty-checkpoint backfill: partitions never seen get
+        hwm=-1 (NewEmptyCheckpointDocument analog, kafka_metadata.go:121-126)."""
+        cur = self.load()
+        missing = sorted(set(all_partitions) - set(cur["partition_id"].tolist()))
+        if missing:
+            fill = pd.DataFrame(
+                {"partition_id": pd.array(missing, dtype="int32"),
+                 "hwm_seqno": pd.array([-1] * len(missing), dtype="int64"),
+                 "commit_epoch": pd.array([-1] * len(missing), dtype="int64")}
+            )
+            cur = pd.concat([cur, fill], ignore_index=True)
+        return cur.sort_values("partition_id").reset_index(drop=True)
+
+    def hwm_map(self) -> dict[int, int]:
+        cur = self.load()
+        return dict(zip(cur["partition_id"].astype(int), cur["hwm_seqno"].astype(int)))
+
+    def committed_epochs(self) -> set[str]:
+        p = os.path.join(self.path, _META)
+        if not os.path.exists(p):
+            return set()
+        with open(p) as f:
+            return set(json.load(f)["committed_epochs"])
+
+    def commit(self, dirty: pd.DataFrame, epoch_id: str) -> None:
+        """Upsert ONLY the dirty partitions (write elision) and record the
+        epoch; atomic file swap. ``dirty`` columns: partition_id, hwm_seqno.
+
+        Note hwm may move DOWN for a partition that saw a rollback marker —
+        truncation must persist so later-delivered replay-branch events
+        (seqno <= old hwm) are not misclassified as duplicates."""
+        epoch_id = str(epoch_id)
+        epochs = self.committed_epochs()
+        if epoch_id in epochs:
+            return
+        cur = self.load()
+        dirty = dirty[["partition_id", "hwm_seqno"]].copy()
+        dirty["partition_id"] = dirty["partition_id"].astype("int32")
+        dirty["hwm_seqno"] = dirty["hwm_seqno"].astype("int64")
+        dirty["commit_epoch"] = pd.array([int(epoch_id.rsplit(":", 1)[-1]) if epoch_id.rsplit(":", 1)[-1].lstrip("-").isdigit() else -1] * len(dirty), dtype="int64")
+        kept = cur[~cur["partition_id"].isin(dirty["partition_id"])]
+        merged = pd.concat([kept, dirty], ignore_index=True).sort_values("partition_id")
+        tmp = self._state_path() + ".tmp"
+        merged.to_parquet(tmp, index=False)
+        os.replace(tmp, self._state_path())
+        epochs.add(epoch_id)
+        mtmp = os.path.join(self.path, _META + ".tmp")
+        with open(mtmp, "w") as f:
+            json.dump({"committed_epochs": sorted(epochs)}, f)
+        os.replace(mtmp, os.path.join(self.path, _META))

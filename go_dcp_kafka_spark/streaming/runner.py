@@ -1,0 +1,260 @@
+"""CdcPipeline — the connector re-imagined (SURVEY §3).
+
+The reference's topology, per event: DCP listener -> normalize -> mapper ->
+route -> batch -> Kafka write -> checkpoint commit
+(/root/reference/connector.go:70-123, kafka/producer/producer_batch.go:107-144).
+
+Ours, per micro-batch (foreachBatch):
+
+    rollback truncation -> HWM dedup -> mapper (vectorized) -> validation
+    -> LWW winners -> route -> salted MERGE into table(s)
+    -> checkpoint upsert (dirty-only) -> lineage append
+
+Commit ordering preserves the reference's invariant — durable sink write
+STRICTLY BEFORE checkpoint commit (producer_batch.go:115 then :143) — and
+upgrades its at-least-once to exactly-once: the table merge is epoch-
+idempotent (re-delivered epochs skip), so replay after any crash converges
+to the same final state.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_dcp_kafka_spark.operators.fold import (
+    apply_rollbacks,
+    extract_rollback_markers,
+    hwm_filter,
+    lww_winners,
+)
+from go_dcp_kafka_spark.schema import (
+    KEY_COLS,
+    OP_MUTATION,
+    OP_ROLLBACK,
+    PAYLOAD_COLS,
+    TRANSCRIPT_SCHEMA,
+)
+from go_dcp_kafka_spark.sources.changelog import read_change_log, stream_change_log
+from go_dcp_kafka_spark.streaming.checkpoints import CheckpointStore
+from go_dcp_kafka_spark.streaming.lineage import LineageLog
+from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+DEFAULT_TARGET = "transcripts"
+
+
+class CdcPipeline:
+    """One pipeline instance == one reference connector instance.
+
+    ``mapper``: optional vectorized transform DataFrame -> DataFrame over the
+    deduplicated micro-batch (the Mapper extension point, mapper.go:8). It may
+    filter rows (discard), explode (1->N), rewrite payload, or add a
+    ``target`` column (topic routing, connector.go:125-140). Envelope columns
+    (partition_id, seqno, delivery_seq, op, conv_id, turn_idx) must survive.
+
+    ``validate``: optional Column predicate; failing rows are dead-lettered
+    to ``_rejections`` instead of merged (rejection_log_sink_response_handler).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        tables: dict[str, SnapshotTable] | None = None,
+        mapper: Callable[[DataFrame], DataFrame] | None = None,
+        validate=None,
+        num_buckets: int = 16,
+        run_id: str = "run",
+        strict_routing: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.base_dir = base_dir
+        self.tables = tables or {
+            DEFAULT_TARGET: SnapshotTable(
+                spark, f"{base_dir}/{DEFAULT_TARGET}", KEY_COLS, num_buckets, schema=TRANSCRIPT_SCHEMA
+            )
+        }
+        self.checkpoints = CheckpointStore(f"{base_dir}/_checkpoints")
+        self.lineage = LineageLog(f"{base_dir}/_lineage")
+        self.rejections_dir = f"{base_dir}/_rejections"
+        self.mapper = mapper
+        self.validate = validate
+        self.run_id = run_id
+        self.strict_routing = strict_routing
+        self.last_stats: dict = {}
+
+    # ------------------------------------------------------------------ batch
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int | str) -> None:
+        """The foreachBatch body — one reference flush+commit cycle."""
+        t0 = time.time()
+        spark = batch_df.sparkSession
+        epoch_key = f"{self.run_id}:{epoch_id}"
+        batch_df = batch_df.persist()
+        try:
+            # ---- rollback truncation (T5) --------------------------------
+            markers = extract_rollback_markers(batch_df)
+            marker_rows = [(r["rb_partition_id"], r["rb_point"]) for r in markers.collect()]
+            live = (
+                apply_rollbacks(batch_df, markers)
+                if marker_rows
+                else batch_df.filter(F.col("op") != OP_ROLLBACK)
+            )
+
+            # ---- effective HWM = committed state + in-batch truncations ---
+            eff = self.checkpoints.hwm_map()
+            for p, rbp in marker_rows:
+                eff[int(p)] = min(eff.get(int(p), -1), int(rbp))
+            hwm_df = spark.createDataFrame(
+                [(int(p), int(v)) for p, v in eff.items()] or [(-(2**31), -1)],
+                T.StructType(
+                    [
+                        T.StructField("partition_id", T.IntegerType()),
+                        T.StructField("hwm_seqno", T.LongType()),
+                    ]
+                ),
+            )
+
+            # ---- lineage stats + dedup in ONE pass over `live` ------------
+            is_fresh = F.col("seqno") > F.coalesce(F.col("hwm_seqno"), F.lit(-1))
+            annotated = live.join(F.broadcast(hwm_df), "partition_id", "left")
+            stats_pd = (
+                annotated.groupBy("partition_id")
+                .agg(
+                    F.sum(F.when(~is_fresh, 1).otherwise(0)).alias("n_duplicates_dropped"),
+                    F.min(F.when(is_fresh, F.col("seqno"))).alias("first_seqno"),
+                    F.max(F.when(is_fresh, F.col("seqno"))).alias("last_seqno"),
+                    F.sum(F.when(is_fresh & (F.col("op") == "mutation"), 1).otherwise(0)).alias("n_mutations"),
+                    F.sum(F.when(is_fresh & (F.col("op") == "deletion"), 1).otherwise(0)).alias("n_deletions"),
+                    F.sum(F.when(is_fresh & (F.col("op") == "expiration"), 1).otherwise(0)).alias("n_expirations"),
+                )
+                .toPandas()
+            )
+
+            fresh = hwm_filter(live, hwm_df)
+
+            # ---- mapper surface (P1) + validation/dead-letter (S7) --------
+            mapped = self.mapper(fresh) if self.mapper is not None else fresh
+            if self.validate is not None:
+                invalid = mapped.filter(~F.coalesce(self.validate, F.lit(False)))
+                self._reject(invalid, "validation failed", epoch_id)
+                mapped = mapped.filter(F.coalesce(self.validate, F.lit(False)))
+
+            # ---- route (P4) + LWW + MERGE (S3) ----------------------------
+            n_merged = self._merge_routed(mapped, epoch_key)
+
+            # ---- checkpoint commit, strictly after the durable merge ------
+            if epoch_key not in self.checkpoints.committed_epochs():
+                dirty = {
+                    int(r.partition_id): int(r.last_seqno)
+                    for r in stats_pd.itertuples()
+                    if pd.notna(r.last_seqno)
+                }
+                for p, _ in marker_rows:
+                    dirty.setdefault(int(p), eff[int(p)])
+                if dirty:
+                    dirty_pd = pd.DataFrame(
+                        {"partition_id": list(dirty), "hwm_seqno": list(dirty.values())}
+                    )
+                    self.checkpoints.commit(dirty_pd, epoch_key)
+                # ---- lineage (committed together with the checkpoint) -----
+                lin = stats_pd.copy()
+                lin["commit_epoch"] = int(epoch_id) if str(epoch_id).lstrip("-").isdigit() else -1
+                lin["n_merged"] = n_merged
+                lin["batch_latency_ms"] = int((time.time() - t0) * 1000)
+                for c in ("n_mutations", "n_deletions", "n_expirations", "n_duplicates_dropped"):
+                    lin[c] = lin[c].fillna(0).astype("int64")
+                self.lineage.append(lin, epoch_key)
+            self.last_stats = {"epoch": epoch_key, "n_merged": n_merged}
+        finally:
+            batch_df.unpersist()
+
+    def _merge_routed(self, mapped: DataFrame, epoch_key: str) -> int:
+        """Split by routing target and MERGE each. Missing mapping: the
+        reference panics (connector.go:132-138); we dead-letter (or raise
+        with strict_routing=True)."""
+        has_target = "target" in mapped.columns
+        total = 0
+        if has_target:
+            mapped = mapped.withColumn("target", F.coalesce(F.col("target"), F.lit(DEFAULT_TARGET)))
+            unknown = mapped.filter(~F.col("target").isin(list(self.tables)))
+            if self.strict_routing and not unknown.isEmpty():
+                raise ValueError("routing target with no configured table (reference panics here)")
+            self._reject(unknown, "unknown routing target", epoch_key)
+        for name, table in self.tables.items():
+            part = mapped.filter(F.col("target") == name).drop("target") if has_target else mapped
+            winners = lww_winners(part).persist()
+            try:
+                upserts = winners.filter(F.col("op") == OP_MUTATION).select(*KEY_COLS, *PAYLOAD_COLS)
+                deletes = winners.filter(F.col("op") != OP_MUTATION).select(*KEY_COLS)
+                ek = epoch_key if len(self.tables) == 1 else f"{epoch_key}@{name}"
+                res = table.merge(upserts, deletes, epoch_id=ek)
+                if not res.get("skipped"):
+                    total += winners.count()
+            finally:
+                winners.unpersist()
+        return total
+
+    def _reject(self, rows: DataFrame, error: str, epoch_id) -> None:
+        if rows.isEmpty():
+            return
+        (
+            rows.select(
+                F.lit(DEFAULT_TARGET).alias("target"),
+                F.col("conv_id"),
+                F.col("turn_idx"),
+                F.lit(error).alias("error"),
+                F.to_json(F.struct(*[F.col(c) for c in PAYLOAD_COLS])).alias("value"),
+                F.lit(str(epoch_id)).alias("commit_epoch_key"),
+            ).write.mode("append").parquet(self.rejections_dir)
+        )
+
+    # --------------------------------------------------------------- running
+    def run_stream(
+        self,
+        source_dir: str,
+        checkpoint_location: str,
+        max_files_per_trigger: int | None = 2,
+        available_now: bool = True,
+    ):
+        """Tail the log until drained (availableNow), resumable from the
+        Spark checkpoint — the reference's Start()/graceful-Close lifecycle
+        (connector.go:50-64)."""
+        stream = stream_change_log(self.spark, source_dir, max_files_per_trigger)
+        writer = (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_location)
+            .queryName(f"cdc-{self.run_id}")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        if available_now:
+            q.awaitTermination()
+        return q
+
+    def run_batch_replay(self, source_dir: str, epoch_id: str = "batch-0") -> None:
+        """Finite/backfill mode (dcp_event_handler.go:29-34): fold the whole
+        log in one shot and overwrite the table — fastest cold-start path
+        (one shuffle, no per-epoch overhead)."""
+        from go_dcp_kafka_spark.operators.fold import fold_change_events
+
+        events = read_change_log(self.spark, source_dir)
+        final = fold_change_events(events)
+        table = self.tables[DEFAULT_TARGET]
+        table.overwrite(final, epoch_id=epoch_id)
+        # checkpoint = max seqno per partition over the whole log
+        hwm = (
+            events.filter(F.col("op") != OP_ROLLBACK)
+            .groupBy("partition_id")
+            .agg(F.max("seqno").alias("hwm_seqno"))
+            .toPandas()
+        )
+        self.checkpoints.commit(hwm, f"{self.run_id}:{epoch_id}")
+
+    def read_table(self, name: str = DEFAULT_TARGET) -> DataFrame:
+        return self.tables[name].read()

@@ -1,0 +1,240 @@
+"""SnapshotTable — an Iceberg-style keyed table on plain parquet.
+
+No Iceberg/Delta runtime jars exist in this sandbox, so the engine ships its
+own minimal table format with the four properties the CDC sink needs
+(SURVEY §7 "TableFormat" fallback). The planner code is format-agnostic: on a
+cluster with ``iceberg-spark-runtime`` the same ``merge()`` call becomes a
+real ``MERGE INTO`` (see ``iceberg_merge_sql`` below).
+
+1. **Keyed MERGE (upsert + delete)** — bucketed copy-on-write: the table is
+   hash-bucketed on the full document key; a merge rewrites ONLY the buckets
+   containing updated keys (Iceberg partition-level COW). At 100 TB this
+   makes merge cost proportional to touched data, not table size; bucket
+   count scales with the table (tests use 16, a 100 TB table uses O(10^4-10^5)).
+2. **Atomic commit** — data files written first, then a single manifest JSON
+   swapped via ``os.replace`` (POSIX-atomic). Readers see old or new, never
+   a mix. This is the analog of an Iceberg snapshot commit (acks=all).
+3. **Epoch idempotence** — each merge carries an epoch id recorded in the
+   manifest; a re-delivered epoch (Spark retries the whole micro-batch after
+   a crash) is detected and skipped => exactly-once table state.
+4. **Schema evolution** — merges may add columns mid-stream; existing rows
+   read back with nulls (parquet mergeSchema + unionByName allowMissingColumns).
+
+Versions are retained (time-travel-lite) until ``expire_snapshots``.
+
+The bucket function includes ``turn_idx`` deliberately: hot conversations
+(thousands of turns, Zipf) spread uniformly — see operators/salting.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MANIFEST = "_manifest.json"
+
+
+def _bucket_expr(key_cols: tuple[str, ...], num_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+
+
+class SnapshotTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: tuple[str, ...] | list[str],
+        num_buckets: int = 16,
+        schema: T.StructType | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_cols = tuple(key_cols)
+        self.num_buckets = num_buckets
+        self._default_schema = schema
+        os.makedirs(path, exist_ok=True)
+
+    # ---------------- manifest ----------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _load_manifest(self) -> dict[str, Any]:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {
+                "version": 0,
+                "num_buckets": self.num_buckets,
+                "key_cols": list(self.key_cols),
+                "buckets": {},
+                "committed_epochs": {},
+                "schema": self._default_schema.json() if self._default_schema else None,
+            }
+        with open(p) as f:
+            m = json.load(f)
+        self.num_buckets = m["num_buckets"]
+        return m
+
+    def _commit_manifest(self, manifest: dict[str, Any]) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())  # the atomic snapshot commit
+
+    # ---------------- read ----------------
+    def exists(self) -> bool:
+        return os.path.exists(self._manifest_path())
+
+    def version(self) -> int:
+        return self._load_manifest()["version"]
+
+    def committed_epochs(self) -> set[str]:
+        return set(self._load_manifest()["committed_epochs"])
+
+    def read(self, manifest: dict | None = None) -> DataFrame:
+        m = manifest or self._load_manifest()
+        dirs = sorted(set(m["buckets"].values()))
+        dirs = [os.path.join(self.path, d) for d in dirs]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            schema = T.StructType.fromJson(json.loads(m["schema"])) if m.get("schema") else self._default_schema
+            if schema is None:
+                raise ValueError("empty table with no schema recorded")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+    def _read_buckets(self, m: dict, buckets: list[int]) -> DataFrame | None:
+        dirs = sorted({m["buckets"][str(b)] for b in buckets if str(b) in m["buckets"]})
+        dirs = [os.path.join(self.path, d) for d in dirs]
+        if not dirs:
+            return None
+        df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        # a version dir holds several buckets; prune to exactly the touched ones
+        return df.withColumn("_b", _bucket_expr(self.key_cols, self.num_buckets)).filter(
+            F.col("_b").isin(buckets)
+        ).drop("_b")
+
+    # ---------------- merge ----------------
+    def merge(
+        self,
+        upserts: DataFrame,
+        delete_keys: DataFrame | None,
+        epoch_id: str,
+    ) -> dict[str, Any]:
+        """MERGE INTO semantics: rows in ``upserts`` replace target rows with
+        the same key (full-document replacement, like a DCP mutation carrying
+        the whole doc); keys in ``delete_keys`` are removed
+        (WHEN MATCHED AND op='deletion' THEN DELETE). Returns commit stats.
+        """
+        epoch_id = str(epoch_id)
+        m = self._load_manifest()
+        if epoch_id in m["committed_epochs"]:
+            return {"skipped": True, "epoch": epoch_id, "version": m["version"]}
+
+        bexpr = _bucket_expr(self.key_cols, self.num_buckets)
+        upserts = upserts.withColumn("_bucket", bexpr)
+        keys = upserts.select(*self.key_cols, "_bucket")
+        if delete_keys is not None:
+            keys = keys.unionByName(delete_keys.withColumn("_bucket", bexpr).select(*self.key_cols, "_bucket"))
+        keys = keys.persist()
+        try:
+            touched = sorted(r["_bucket"] for r in keys.select("_bucket").distinct().collect())
+            new_version = m["version"] + 1
+            rel_dir = f"data/v{new_version:06d}"
+            out_dir = os.path.join(self.path, rel_dir)
+
+            current = self._read_buckets(m, touched)
+            if current is not None:
+                kept = current.withColumn("_bucket", bexpr).join(
+                    keys, on=[*self.key_cols, "_bucket"], how="left_anti"
+                )
+                combined = kept.unionByName(upserts, allowMissingColumns=True)
+            else:
+                combined = upserts
+            n_upserts = None
+            if touched:
+                (
+                    combined.repartition(max(len(touched), 1), F.col("_bucket"))
+                    .write.partitionBy("_bucket")
+                    .mode("overwrite")
+                    .parquet(out_dir)
+                )
+            schema_now = combined.drop("_bucket").schema
+
+            for b in touched:
+                bdir = os.path.join(rel_dir, f"_bucket={b}")
+                if os.path.isdir(os.path.join(self.path, bdir)):
+                    m["buckets"][str(b)] = bdir
+                else:
+                    m["buckets"].pop(str(b), None)  # bucket emptied by deletes
+            m["version"] = new_version
+            m["schema"] = schema_now.json()
+            m["committed_epochs"][epoch_id] = new_version
+            self._commit_manifest(m)
+            return {
+                "skipped": False,
+                "epoch": epoch_id,
+                "version": new_version,
+                "touched_buckets": touched,
+                "n_upserts": n_upserts,
+            }
+        finally:
+            keys.unpersist()
+
+    def overwrite(self, df: DataFrame, epoch_id: str = "overwrite-0") -> dict[str, Any]:
+        """Full-table replace (the batch-replay M1 path)."""
+        m = self._load_manifest()
+        new_version = m["version"] + 1
+        rel_dir = f"data/v{new_version:06d}"
+        out_dir = os.path.join(self.path, rel_dir)
+        bexpr = _bucket_expr(self.key_cols, self.num_buckets)
+        dfb = df.withColumn("_bucket", bexpr)
+        dfb.repartition(self.num_buckets, F.col("_bucket")).write.partitionBy("_bucket").mode(
+            "overwrite"
+        ).parquet(out_dir)
+        m["buckets"] = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith("_bucket="):
+                m["buckets"][entry.split("=")[1]] = os.path.join(rel_dir, entry)
+        m["version"] = new_version
+        m["schema"] = df.schema.json()
+        m["committed_epochs"][str(epoch_id)] = new_version
+        self._commit_manifest(m)
+        return {"version": new_version}
+
+    def expire_snapshots(self, keep_last: int = 2) -> None:
+        """GC data dirs not referenced by the current manifest (Iceberg
+        snapshot-expiry analog; the reference's checkpoint 'Clear' is a no-op
+        because topic compaction GCs for it — kafka_metadata.go:131-133)."""
+        m = self._load_manifest()
+        live = {d.split("/")[1] for d in m["buckets"].values()}
+        data_root = os.path.join(self.path, "data")
+        if not os.path.isdir(data_root):
+            return
+        versions = sorted(os.listdir(data_root))
+        for v in versions[:-keep_last] if keep_last else versions:
+            if v not in live:
+                shutil.rmtree(os.path.join(data_root, v), ignore_errors=True)
+
+
+def iceberg_merge_sql(target: str, source_view: str, key_cols: tuple[str, ...], payload_cols: tuple[str, ...]) -> str:
+    """The equivalent Iceberg MERGE for cluster deployments (kept in sync
+    with SnapshotTable.merge semantics; exercised only when an Iceberg
+    catalog is configured)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in payload_cols)
+    cols = ", ".join([*key_cols, *payload_cols])
+    vals = ", ".join(f"s.{c}" for c in [*key_cols, *payload_cols])
+    return f"""
+        MERGE INTO {target} t USING {source_view} s ON {on}
+        WHEN MATCHED AND s.op = 'mutation' THEN UPDATE SET {sets}
+        WHEN MATCHED AND s.op != 'mutation' THEN DELETE
+        WHEN NOT MATCHED AND s.op = 'mutation' THEN INSERT ({cols}) VALUES ({vals})
+    """
