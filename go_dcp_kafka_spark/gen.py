@@ -287,6 +287,10 @@ def write_change_log(
             chunk = chunk.drop(columns=["tool"])
         p = os.path.join(out_dir, f"chunk-{i:05d}.parquet")
         chunk.to_parquet(p, index=False)
+        # Spark's file stream source orders by modification time; pin mtimes
+        # so streamed micro-batch order == delivery order deterministically.
+        t = 1_700_000_000 + i * 10
+        os.utime(p, (t, t))
         paths.append(p)
     with open(os.path.join(out_dir, "_gen_meta.json"), "w") as f:
         json.dump({"n_events": n, "n_files": n_files, "evolution_boundary": boundary}, f)

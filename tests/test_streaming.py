@@ -1,0 +1,120 @@
+"""M2/M3/M4: streaming replay, checkpoint/resume, crash-injected exactly-once.
+
+Translates the reference's integration contract (full replay => exact final
+state, /root/reference/test/integration/integration_test.go:93-107) to the
+micro-batch pipeline, plus the adversarial semantics SURVEY §7 M4 lists:
+duplicate delivery across epochs, rollback truncation persisting in the HWM
+store, resume from checkpoint, and crash-between-merge-and-checkpoint.
+"""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from go_dcp_kafka_spark.gen import (
+    GenConfig,
+    fold_oracle,
+    generate_change_events,
+    write_change_log,
+)
+from go_dcp_kafka_spark.streaming.checkpoints import CheckpointStore
+from go_dcp_kafka_spark.streaming.runner import CdcPipeline
+from tests.conftest import assert_frames_equal
+
+
+@pytest.fixture(scope="module")
+def stream_case(tmp_path_factory):
+    res = generate_change_events(
+        GenConfig(seed=99, n_convs=120, n_hot_convs=2, hot_turns=100, n_partitions=12)
+    )
+    d = tmp_path_factory.mktemp("streamlog")
+    write_change_log(res.events, str(d), n_files=8, evolution_boundary=res.meta["evolution_boundary"])
+    return {"res": res, "dir": str(d), "expected": fold_oracle(res.events)}
+
+
+def _fresh_pipeline(spark, tmp_path, **kw):
+    return CdcPipeline(spark, str(tmp_path / "tbl"), run_id="s", **kw)
+
+
+def test_streaming_replay_matches_oracle(spark, stream_case, tmp_path):
+    pipe = _fresh_pipeline(spark, tmp_path)
+    pipe.run_stream(stream_case["dir"], str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    actual = pipe.read_table().toPandas()
+    assert_frames_equal(actual, stream_case["expected"])
+
+    # lineage invariants: duplicates were actually dropped across epochs;
+    # checkpoint HWM == max surviving seqno per partition
+    lin = pipe.lineage.read()
+    assert len(lin) > 0
+    assert lin["n_duplicates_dropped"].sum() > 0, "cross-epoch duplicate replay never exercised"
+    ck = pipe.checkpoints.load()
+    ev = stream_case["res"].events
+    rbp = stream_case["res"].rollback_partition
+    data = ev[ev["op"] != "rollback"]
+    for r in ck.itertuples():
+        pmax = int(data[data["partition_id"] == r.partition_id]["seqno"].max())
+        if r.partition_id == rbp:
+            # rollback partition: HWM = max of the surviving (new) branch
+            assert r.hwm_seqno <= pmax
+        else:
+            assert r.hwm_seqno == pmax, f"partition {r.partition_id}"
+
+
+def test_streaming_resume_from_checkpoint(spark, stream_case, tmp_path):
+    """Kill/resume: process half the log, stop, append the rest, resume with
+    the same Spark checkpoint — no loss, no double-apply."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    files = sorted(glob.glob(os.path.join(stream_case["dir"], "chunk-*.parquet")))
+    for f in files[:4]:
+        shutil.copy2(f, src)
+    pipe = _fresh_pipeline(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    pipe.run_stream(src, ckpt, max_files_per_trigger=1)
+    mid_rows = pipe.read_table().count()
+    assert mid_rows > 0
+
+    for f in files[4:]:
+        shutil.copy2(f, src)
+    pipe.run_stream(src, ckpt, max_files_per_trigger=1)
+    actual = pipe.read_table().toPandas()
+    assert_frames_equal(actual, stream_case["expected"])
+
+
+def test_crash_between_merge_and_checkpoint(spark, stream_case, tmp_path, monkeypatch):
+    """The exactly-once crux: fail AFTER the table merge commits but BEFORE
+    the HWM checkpoint commits; restart re-delivers the epoch; the merge is
+    skipped by epoch-id and state converges to the oracle."""
+    pipe = _fresh_pipeline(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    crashed = {"done": False}
+    orig_commit = CheckpointStore.commit
+
+    def exploding_commit(self, dirty, epoch_id):
+        if not crashed["done"] and str(epoch_id).endswith(":2"):
+            crashed["done"] = True
+            raise RuntimeError("injected crash after merge, before checkpoint")
+        return orig_commit(self, dirty, epoch_id)
+
+    monkeypatch.setattr(CheckpointStore, "commit", exploding_commit)
+    with pytest.raises(Exception):
+        pipe.run_stream(stream_case["dir"], ckpt, max_files_per_trigger=2)
+    assert crashed["done"], "crash epoch never reached"
+
+    # restart: same pipeline state dirs, same Spark checkpoint
+    pipe2 = _fresh_pipeline(spark, tmp_path)
+    pipe2.run_stream(stream_case["dir"], ckpt, max_files_per_trigger=2)
+    actual = pipe2.read_table().toPandas()
+    assert_frames_equal(actual, stream_case["expected"])
+
+
+def test_batch_replay_equals_streaming(spark, stream_case, tmp_path):
+    """Backfill mode and streaming mode must agree bit-for-bit."""
+    pipe = _fresh_pipeline(spark, tmp_path)
+    pipe.run_batch_replay(stream_case["dir"])
+    actual = pipe.read_table().toPandas()
+    assert_frames_equal(actual, stream_case["expected"])
