@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard — each
+expressed Spark-first so Catalyst/Tungsten run them:
+
+- exact:    hash-groupBy (one shuffle, map-side combine)
+- minhash:  per-doc signature = pure projection (no shuffle); banding =
+            explode bands -> groupBy band hash (the scale path: candidate
+            pairs only within buckets, never all-pairs)
+- simhash:  explode words -> bit-vote aggregation (one shuffle)
+- jaccard:  exact verification on LSH candidates via array_intersect
+
+At 100 TB the invariant is: NOTHING does an all-pairs comparison. Signatures
+are projections; candidate generation is an equi-shuffle on band keys;
+verification touches only bucket-mates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_dcp_kafka_spark.functions.hashing import h31, perm_hash, perm_params
+from go_dcp_kafka_spark.functions.textstats import WS_TOKEN_RE
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-text duplicate groups: (text_hash via md5, n copies, keeper =
+    min doc_id). Hash-groupBy: one shuffle with partial aggregation."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _word_shingles(text_col: str, k: int):
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WS_TOKEN_RE), 0)
+    n = F.size(words)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as scalar columns mh_0..mh_{k-1}.
+
+    Pure projection — a scan with no shuffle; each permutation is
+    min((a*h31(shingle)+b) mod p) over the shingle array. Oracle-portable
+    (md5-derived h31 + int64-safe products)."""
+    sh = _word_shingles(text_col, shingle_words).alias("_sh")
+    base = docs.select("doc_id", F.transform(sh, h31).alias("_h"))
+    cols = [
+        F.array_min(F.transform(F.col("_h"), lambda h: perm_hash(h, a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(perm_params(num_hashes))
+    ]
+    return base.select("doc_id", *cols)
+
+
+def minhash_band_buckets(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: (band_id, band_key) per doc; docs sharing a (band_id,
+    band_key) are near-dup candidates. band_key = md5-hash of the band's
+    concatenated minhash values."""
+    from go_dcp_kafka_spark.functions.hashing import md5_hash60
+
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        out.append(
+            signatures.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                md5_hash60(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_key"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing >= 1 LSH band. The join is an
+    equi-join on (band_id, band_key) — shuffle proportional to bucket sizes,
+    never all-pairs."""
+    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_words)
+    bk = minhash_band_buckets(sigs, bands, num_hashes // bands)
+    a = bk.select(F.col("doc_id").alias("a_id"), "band_id", "band_key")
+    b = bk.select(F.col("doc_id").alias("b_id"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Per-doc SimHash via explode + bit-vote aggregation (one shuffle,
+    map-side combine; SQL-oracle-portable). Hamming-close simhashes =>
+    near-duplicate docs."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WS_TOKEN_RE), 0)
+    w = docs.select("doc_id", F.explode(words).alias("word")).withColumn("h", h31(F.col("word")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = w.groupBy("doc_id").agg(*votes)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def jaccard_verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (the verify stage after LSH).
+    Shingle sets are joined in (two broadcast-able/equi joins), similarity
+    via array_intersect/array_union sizes."""
+    sh = docs.select(
+        "doc_id", F.array_distinct(_word_shingles(text_col, shingle_words)).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
+        .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "sh_b"), "b_id")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        j.select(
+            "a_id",
+            "b_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_dims: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH bucket on the first ``sign_dims``
+    coordinates (a valid random-projection LSH for roughly-isotropic
+    embeddings), then exact cosine within buckets. No all-pairs."""
+    from go_dcp_kafka_spark.functions.similarity import cosine_expr, sign_bucket
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), sign_dims).alias("bucket"),
+    )
+    a = e.select(F.col("id").alias("a_id"), F.col("v").alias("va"), "bucket")
+    b = e.select(F.col("id").alias("b_id"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(cosine_expr("va", "vb"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

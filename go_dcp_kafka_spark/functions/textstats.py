@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+language-ID heuristic, quality scoring, document fingerprinting.
+
+All pure Column expressions — JVM-side, whole-stage codegen, no Python in
+the hot path — and each has an exact DuckDB-SQL twin used as the
+correctness oracle (see __spark_entry__.py).
+
+At 100 TB these run as a single scan + projection over the documents table:
+no shuffle, no UDF serialization, filters push down beneath them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from go_dcp_kafka_spark.functions.hashing import h31
+
+#: whitespace tokens
+WS_TOKEN_RE = r"[^\s]+"
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(WS_TOKEN_RE), 0))
+
+
+def token_count_bpe(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    words = F.regexp_extract_all(F.lower(text), F.lit(WS_TOKEN_RE), 0)
+    n_stop = F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in _STOPWORDS])))
+    # intersect is set-based: count occurrences instead for a true ratio
+    n_stop_occ = F.size(F.filter(words, lambda w: w.isin(list(_STOPWORDS))))
+    _ = n_stop
+    return F.when(F.size(words) > 0, n_stop_occ / F.size(words)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    words = F.regexp_extract_all(text, F.lit(WS_TOKEN_RE), 0)
+    return F.when(
+        F.size(words) > 0,
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double") / F.size(words),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: long enough, not punctuation
+    soup, has function words, sane word lengths. Deterministic arithmetic —
+    rounded to 6 dp so engine/oracle float formatting agrees."""
+    len_score = F.least(F.length(text) / F.lit(400.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(text) * 4.0, F.lit(0.0))
+    wl = mean_word_len(text)
+    wl_score = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score * 0.3 + stop_score * 0.3 + punct_pen * 0.2 + wl_score * 0.2), 6)
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/function-word language heuristic: classify as 'en' when
+    English function words dominate, else 'other'. (The synthetic corpus is
+    English-ish filler; the operator shape — vectorized feature extraction +
+    threshold — is what scales to a real fastText-style classifier as a
+    pandas UDF.)"""
+    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+
+
+def doc_fingerprint(text: Column, shingle_words: int = 8) -> Column:
+    """Winnowing-style fingerprint: minimum 31-bit hash over word 8-gram
+    shingles (falls back to whole-text hash for short docs). Equal
+    fingerprints => near-identical prefixes/content blocks."""
+    words = F.regexp_extract_all(F.lower(text), F.lit(WS_TOKEN_RE), 0)
+    n = F.size(words)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (shingle_words - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, shingle_words)),
+    )
+    return F.array_min(F.transform(shingles, h31))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-scan profile of a documents table (the composite operator)."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,95 @@
+"""Training-data pipeline operators over the driver testdata tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_dcp_kafka_spark.functions.dedup_text import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    jaccard_verify_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash,
+)
+from go_dcp_kafka_spark.functions.multimodal import (
+    extract_features,
+    sample_frames,
+    synthetic_media,
+)
+from go_dcp_kafka_spark.functions.similarity import ann_lsh_topk, cosine_topk
+from go_dcp_kafka_spark.functions.textstats import text_profile
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_text_profile(docs):
+    prof = text_profile(docs).toPandas()
+    assert len(prof) == docs.count()
+    assert (prof["n_tokens_ws"] >= 0).all()
+    assert prof["quality"].between(0, 1).all()
+    assert set(prof["lang_pred"]) <= {"en", "other"}
+    assert prof["fingerprint"].notna().all()
+
+
+def test_minhash_pipeline(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=16)
+    pdf = sigs.toPandas()
+    assert len(pdf) == docs.count()
+    # identical texts must share full signatures
+    pairs = minhash_near_duplicates(docs, num_hashes=16, bands=4)
+    verified = jaccard_verify_pairs(docs, pairs, threshold=0.9).toPandas()
+    # exact duplicate texts (generator emits some) must survive verification
+    dups = exact_duplicates(docs).toPandas()
+    if len(dups) > 0:
+        assert len(verified) > 0
+
+
+def test_minhash_no_shuffle_for_signatures(docs):
+    plan = minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"signature computation must be a pure projection:\n{plan[:2000]}"
+
+
+def test_simhash_close_for_identical(spark, docs):
+    sh = simhash(docs).join(docs.select("doc_id", "text"), "doc_id")
+    pdf = sh.toPandas()
+    by_text = pdf.groupby("text")["simhash"].nunique()
+    assert (by_text == 1).all(), "identical text => identical simhash"
+
+
+def test_cosine_topk_and_ann(spark, embs):
+    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    exact = cosine_topk(embs, qvec, k=10).toPandas()
+    assert exact.iloc[0]["vec_id"] == 0 and abs(exact.iloc[0]["cosine"] - 1.0) < 1e-5
+    approx = ann_lsh_topk(embs, qvec, k=10).toPandas()
+    # the query's own vector is always in its own bucket
+    assert 0 in set(approx["vec_id"])
+    # ANN results are a subset of the bucket, all real cosines
+    assert approx["cosine"].between(-1.001, 1.001).all()
+
+
+def test_embedding_near_duplicates(spark, embs):
+    nd = embedding_near_duplicates(embs, threshold=0.8).toPandas()
+    assert (nd["a_id"] < nd["b_id"]).all()
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media, use_fake=True).toPandas()
+    assert len(feats) == 30
+    assert feats["feature"].map(len).eq(8).all()
+    frames = sample_frames(media, use_fake=True).toPandas()
+    assert len(frames) > 0 and (frames["frame_idx"] >= 0).all()
+    # real decode path is explicitly stubbed
+    with pytest.raises(Exception) as ei:
+        extract_features(media, use_fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
