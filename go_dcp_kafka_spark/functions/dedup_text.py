@@ -24,13 +24,15 @@ from go_dcp_kafka_spark.functions.hashing import h31, perm_hash, perm_params
 from go_dcp_kafka_spark.functions.textstats import WS_TOKEN_RE
 
 
-def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_duplicates(docs: DataFrame, text_col: str = "text", min_copies: int = 2) -> DataFrame:
     """Exact-text duplicate groups: (text_hash via md5, n copies, keeper =
-    min doc_id). Hash-groupBy: one shuffle with partial aggregation."""
+    min doc_id). Hash-groupBy: one shuffle with partial aggregation.
+    ``min_copies=1`` returns every group (keeper selection over the whole
+    corpus — the dedup-keep side rather than the dup-report side)."""
     return (
         docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
-        .filter(F.col("n_copies") > 1)
+        .filter(F.col("n_copies") >= min_copies)
     )
 
 
