@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Headline: sustained CDC merge-apply throughput — replay a deterministic
+synthetic change-event log (duplicates + rollback + schema evolution + hot
+keys + text normalization) into the transcripts table, batch and streaming,
+plus per-query timings of every driver query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "cdc": {...}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32)
+  BENCH_EVENTS         approx change-event count (default 2_000_000)
+  BENCH_SKIP_QUERIES   =1 to run only the CDC replay (scaling runs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_dcp_kafka_spark.functions.normalize import normalize_text_col  # noqa: E402
+from go_dcp_kafka_spark.gen import GenConfig, generate_change_events, write_change_log  # noqa: E402
+from go_dcp_kafka_spark.operators.fold import fold_change_events  # noqa: E402
+from go_dcp_kafka_spark.session import get_spark  # noqa: E402
+from go_dcp_kafka_spark.sources.changelog import read_change_log  # noqa: E402
+from go_dcp_kafka_spark.streaming.runner import CdcPipeline  # noqa: E402
+
+
+def build_log(n_events_target: int, out_dir: str, n_files: int = 8) -> int:
+    """Deterministic log sized to ~n_events_target (events scale ~6.2x convs)."""
+    n_convs = max(int(n_events_target / 6.2), 100)
+    cfg = GenConfig(
+        seed=42,
+        n_convs=n_convs,
+        n_hot_convs=max(n_convs // 20_000, 4),
+        hot_turns=1500,
+        n_partitions=128,
+        n_dup_replays=8,
+        dup_len=5000,
+    )
+    res = generate_change_events(cfg)
+    write_change_log(res.events, out_dir, n_files=n_files, evolution_boundary=res.meta["evolution_boundary"])
+    return len(res.events)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_target = int(os.environ.get("BENCH_EVENTS", "2000000"))
+    skip_queries = os.environ.get("BENCH_SKIP_QUERIES", "0") == "1"
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+
+    work = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        log_dir = os.path.join(work, "log")
+        n_events = build_log(n_target, log_dir)
+
+        # warm the JVM/codegen/parquet reader so the metric measures
+        # sustained merge-apply throughput, not one-time session startup
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        read_change_log(spark, log_dir).limit(1000).count()
+
+        # ---- headline: batch replay (fold + normalize + table write) ------
+        t0 = time.time()
+        n_buckets = max(cpus, 8)  # == shuffle partitions: bucket-aligned write
+        pipe = CdcPipeline(spark, os.path.join(work, "tbl_batch"), num_buckets=n_buckets, run_id="bench")
+        events = read_change_log(spark, log_dir)
+        final = fold_change_events(events, normalize_text=normalize_text_col("text"))
+        pipe.tables["transcripts"].overwrite(final, epoch_id="bench-batch", aligned=True)
+        batch_sec = time.time() - t0
+        n_rows = pipe.read_table().count()
+
+        # ---- streaming replay (micro-batched merge-apply) ------------------
+        t0 = time.time()
+        spipe = CdcPipeline(spark, os.path.join(work, "tbl_stream"), num_buckets=n_buckets, run_id="bench-s")
+        spipe.run_stream(log_dir, os.path.join(work, "ckpt"), max_files_per_trigger=2)
+        stream_sec = time.time() - t0
+
+        queries_sec: dict[str, float] = {}
+        if not skip_queries:
+            import __spark_entry__ as entry
+
+            for name, fn in entry.queries().items():
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                queries_sec[name] = round(time.time() - t0, 3)
+
+        out = {
+            "metric": "cdc_batch_replay_wall_sec",
+            "value": round(batch_sec, 3),
+            "unit": "sec",
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            "queries": queries_sec,
+            "cdc": {
+                "n_events": n_events,
+                "final_rows": n_rows,
+                "batch_replay_sec": round(batch_sec, 3),
+                "batch_events_per_sec": round(n_events / batch_sec),
+                "stream_replay_sec": round(stream_sec, 3),
+                "stream_events_per_sec": round(n_events / stream_sec),
+                "cpus": cpus,
+            },
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -96,36 +96,31 @@ class CdcPipeline:
         epoch_key = f"{self.run_id}:{epoch_id}"
         batch_df = batch_df.persist()
         try:
-            # ---- rollback truncation (T5) --------------------------------
-            markers = extract_rollback_markers(batch_df)
-            marker_rows = [(r["rb_partition_id"], r["rb_point"]) for r in markers.collect()]
-            live = (
-                apply_rollbacks(batch_df, markers)
-                if marker_rows
-                else batch_df.filter(F.col("op") != OP_ROLLBACK)
-            )
+            # ---- committed HWM state (driver-side map, <=1024 partitions) -
+            hwm0 = self.checkpoints.hwm_map()
 
-            # ---- effective HWM = committed state + in-batch truncations ---
-            eff = self.checkpoints.hwm_map()
-            for p, rbp in marker_rows:
-                eff[int(p)] = min(eff.get(int(p), -1), int(rbp))
-            hwm_df = spark.createDataFrame(
-                [(int(p), int(v)) for p, v in eff.items()] or [(-(2**31), -1)],
-                T.StructType(
-                    [
-                        T.StructField("partition_id", T.IntegerType()),
-                        T.StructField("hwm_seqno", T.LongType()),
-                    ]
-                ),
-            )
+            def _hwm_df(mapping: dict[int, int]):
+                return spark.createDataFrame(
+                    [(int(p), int(v)) for p, v in mapping.items()] or [(-(2**31), -1)],
+                    T.StructType(
+                        [
+                            T.StructField("partition_id", T.IntegerType()),
+                            T.StructField("hwm_seqno", T.LongType()),
+                        ]
+                    ),
+                )
 
-            # ---- lineage stats + dedup in ONE pass over `live` ------------
-            is_fresh = F.col("seqno") > F.coalesce(F.col("hwm_seqno"), F.lit(-1))
-            annotated = live.join(F.broadcast(hwm_df), "partition_id", "left")
+            # ---- ONE pass over the batch: rollback-marker detection fused
+            # with lineage stats (duplicates counted vs committed HWM) ------
+            is_rb = F.col("op") == OP_ROLLBACK
+            is_fresh = (~is_rb) & (F.col("seqno") > F.coalesce(F.col("hwm_seqno"), F.lit(-1)))
+            annotated = batch_df.join(F.broadcast(_hwm_df(hwm0)), "partition_id", "left")
             stats_pd = (
                 annotated.groupBy("partition_id")
                 .agg(
-                    F.sum(F.when(~is_fresh, 1).otherwise(0)).alias("n_duplicates_dropped"),
+                    F.sum(F.when(is_rb, 1).otherwise(0)).alias("n_rollbacks"),
+                    F.min(F.when(is_rb, F.col("rollback_point"))).alias("rb_point"),
+                    F.sum(F.when(~is_rb & ~is_fresh, 1).otherwise(0)).alias("n_duplicates_dropped"),
                     F.min(F.when(is_fresh, F.col("seqno"))).alias("first_seqno"),
                     F.max(F.when(is_fresh, F.col("seqno"))).alias("last_seqno"),
                     F.sum(F.when(is_fresh & (F.col("op") == "mutation"), 1).otherwise(0)).alias("n_mutations"),
@@ -135,6 +130,41 @@ class CdcPipeline:
                 .toPandas()
             )
 
+            eff = dict(hwm0)
+            marker_rows: list[tuple[int, int]] = []
+            if int(stats_pd["n_rollbacks"].sum()) > 0:
+                # ---- rollback truncation (T5): the rare, precise path -----
+                markers = extract_rollback_markers(batch_df)
+                marker_rows = [(int(r["rb_partition_id"]), int(r["rb_point"])) for r in markers.collect()]
+                for p, rbp in marker_rows:
+                    eff[p] = min(eff.get(p, -1), rbp)
+                live = apply_rollbacks(batch_df, markers)
+                # recompute stats for the affected partitions only
+                mparts = sorted({p for p, _ in marker_rows})
+                is_fresh2 = F.col("seqno") > F.coalesce(F.col("hwm_seqno"), F.lit(-1))
+                redo = (
+                    live.filter(F.col("partition_id").isin(mparts))
+                    .join(F.broadcast(_hwm_df(eff)), "partition_id", "left")
+                    .groupBy("partition_id")
+                    .agg(
+                        F.sum(F.when(~is_fresh2, 1).otherwise(0)).alias("n_duplicates_dropped"),
+                        F.min(F.when(is_fresh2, F.col("seqno"))).alias("first_seqno"),
+                        F.max(F.when(is_fresh2, F.col("seqno"))).alias("last_seqno"),
+                        F.sum(F.when(is_fresh2 & (F.col("op") == "mutation"), 1).otherwise(0)).alias("n_mutations"),
+                        F.sum(F.when(is_fresh2 & (F.col("op") == "deletion"), 1).otherwise(0)).alias("n_deletions"),
+                        F.sum(F.when(is_fresh2 & (F.col("op") == "expiration"), 1).otherwise(0)).alias("n_expirations"),
+                    )
+                    .toPandas()
+                )
+                keep = stats_pd[~stats_pd["partition_id"].isin(mparts)]
+                redo["n_rollbacks"] = 1
+                redo["rb_point"] = redo["partition_id"].map(dict(marker_rows))
+                stats_pd = pd.concat([keep, redo], ignore_index=True)
+            else:
+                live = batch_df.filter(F.col("op") != OP_ROLLBACK)
+
+            stats_pd = stats_pd.drop(columns=["n_rollbacks", "rb_point"])
+            hwm_df = _hwm_df(eff)
             fresh = hwm_filter(live, hwm_df)
 
             # ---- mapper surface (P1) + validation/dead-letter (S7) --------
@@ -189,12 +219,15 @@ class CdcPipeline:
             part = mapped.filter(F.col("target") == name).drop("target") if has_target else mapped
             winners = lww_winners(part).persist()
             try:
+                # materialize + count up front: feeds lineage AND lets the
+                # merge broadcast the update-key probe side
+                n_winners = winners.count()
                 upserts = winners.filter(F.col("op") == OP_MUTATION).select(*KEY_COLS, *PAYLOAD_COLS)
                 deletes = winners.filter(F.col("op") != OP_MUTATION).select(*KEY_COLS)
                 ek = epoch_key if len(self.tables) == 1 else f"{epoch_key}@{name}"
-                res = table.merge(upserts, deletes, epoch_id=ek)
+                res = table.merge(upserts, deletes, epoch_id=ek, n_updates=n_winners)
                 if not res.get("skipped"):
-                    total += winners.count()
+                    total += n_winners
             finally:
                 winners.unpersist()
         return total
@@ -246,7 +279,8 @@ class CdcPipeline:
         events = read_change_log(self.spark, source_dir)
         final = fold_change_events(events)
         table = self.tables[DEFAULT_TARGET]
-        table.overwrite(final, epoch_id=epoch_id)
+        # the fold output is hash-partitioned by key: bucket-aligned write
+        table.overwrite(final, epoch_id=epoch_id, aligned=True)
         # checkpoint = max seqno per partition over the whole log
         hwm = (
             events.filter(F.col("op") != OP_ROLLBACK)

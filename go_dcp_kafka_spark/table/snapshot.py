@@ -41,7 +41,11 @@ _MANIFEST = "_manifest.json"
 
 
 def _bucket_expr(key_cols: tuple[str, ...], num_buckets: int):
-    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+    """Bucket = pmod(murmur3(key), B) — deliberately the SAME hash family
+    Spark's shuffle HashPartitioning uses, so when B == shuffle partitions a
+    key-grouped upstream (the LWW fold) is already bucket-aligned and the
+    table write needs NO extra exchange (see overwrite(aligned=True))."""
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
 
 
 class SnapshotTable:
@@ -115,7 +119,14 @@ class SnapshotTable:
         dirs = [os.path.join(self.path, d) for d in dirs]
         if not dirs:
             return None
-        df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        # manifest schema is the superset of every written file's schema:
+        # reading with it backfills evolved columns with nulls and skips the
+        # footer-merging pass (one footer per file) that mergeSchema costs
+        if m.get("schema"):
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            df = self.spark.read.schema(schema).parquet(*dirs)
+        else:
+            df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
         # a version dir holds several buckets; prune to exactly the touched ones
         return df.withColumn("_b", _bucket_expr(self.key_cols, self.num_buckets)).filter(
             F.col("_b").isin(buckets)
@@ -127,6 +138,7 @@ class SnapshotTable:
         upserts: DataFrame,
         delete_keys: DataFrame | None,
         epoch_id: str,
+        n_updates: int | None = None,
     ) -> dict[str, Any]:
         """MERGE INTO semantics: rows in ``upserts`` replace target rows with
         the same key (full-document replacement, like a DCP mutation carrying
@@ -152,8 +164,13 @@ class SnapshotTable:
 
             current = self._read_buckets(m, touched)
             if current is not None:
+                # an epoch's update keys are bounded by the micro-batch size;
+                # broadcasting them turns the anti-join into a map-side probe
+                # (no shuffle of the target table). Above the threshold, fall
+                # back to a shuffled join (AQE may still pick broadcast).
+                join_keys = F.broadcast(keys) if n_updates is not None and n_updates <= 2_000_000 else keys
                 kept = current.withColumn("_bucket", bexpr).join(
-                    keys, on=[*self.key_cols, "_bucket"], how="left_anti"
+                    join_keys, on=[*self.key_cols, "_bucket"], how="left_anti"
                 )
                 combined = kept.unionByName(upserts, allowMissingColumns=True)
             else:
@@ -188,17 +205,23 @@ class SnapshotTable:
         finally:
             keys.unpersist()
 
-    def overwrite(self, df: DataFrame, epoch_id: str = "overwrite-0") -> dict[str, Any]:
-        """Full-table replace (the batch-replay M1 path)."""
+    def overwrite(self, df: DataFrame, epoch_id: str = "overwrite-0", aligned: bool = False) -> dict[str, Any]:
+        """Full-table replace (the batch-replay M1 path).
+
+        ``aligned=True``: skip the pre-write repartition — correct for ANY
+        input (partitionBy routes rows regardless), optimal when the input
+        plan already hash-partitioned by the key columns (e.g. the LWW fold's
+        groupBy) AND shuffle partitions == num_buckets: each task then holds
+        whole buckets and writes one file per bucket, zero extra shuffle."""
         m = self._load_manifest()
         new_version = m["version"] + 1
         rel_dir = f"data/v{new_version:06d}"
         out_dir = os.path.join(self.path, rel_dir)
         bexpr = _bucket_expr(self.key_cols, self.num_buckets)
         dfb = df.withColumn("_bucket", bexpr)
-        dfb.repartition(self.num_buckets, F.col("_bucket")).write.partitionBy("_bucket").mode(
-            "overwrite"
-        ).parquet(out_dir)
+        if not aligned:
+            dfb = dfb.repartition(self.num_buckets, F.col("_bucket"))
+        dfb.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         m["buckets"] = {}
         for entry in os.listdir(out_dir):
             if entry.startswith("_bucket="):
