@@ -36,8 +36,11 @@ from go_dcp_kafka_spark.sources.changelog import read_change_log  # noqa: E402
 from go_dcp_kafka_spark.streaming.runner import CdcPipeline  # noqa: E402
 
 
-def build_log(n_events_target: int, out_dir: str, n_files: int = 8) -> int:
-    """Deterministic log sized to ~n_events_target (events scale ~6.2x convs)."""
+def build_log(n_events_target: int, out_dir: str, n_files: int = 64) -> int:
+    """Deterministic log sized to ~n_events_target (events scale ~6.2x convs).
+
+    64 files so the scan stage has enough input splits to use 4N cores —
+    at real scale the DCP log is thousands of files/offsets, never 8."""
     n_convs = max(int(n_events_target / 6.2), 100)
     cfg = GenConfig(
         seed=42,
@@ -84,7 +87,7 @@ def main() -> None:
         # ---- streaming replay (micro-batched merge-apply) ------------------
         t0 = time.time()
         spipe = CdcPipeline(spark, os.path.join(work, "tbl_stream"), num_buckets=n_buckets, run_id="bench-s")
-        spipe.run_stream(log_dir, os.path.join(work, "ckpt"), max_files_per_trigger=2)
+        spipe.run_stream(log_dir, os.path.join(work, "ckpt"), max_files_per_trigger=16)
         stream_sec = time.time() - t0
 
         queries_sec: dict[str, float] = {}

@@ -71,7 +71,13 @@ class CdcPipeline:
         num_buckets: int = 16,
         run_id: str = "run",
         strict_routing: bool = False,
+        merge_mode: str = "cow",
+        compact_every: int | None = None,
     ) -> None:
+        """``merge_mode``: 'cow' rewrites touched buckets per epoch (read-
+        optimized); 'mor' appends versioned deltas per epoch (write-optimized
+        — the 100 TB frequent-epoch path) with LWW resolution at read and
+        compaction every ``compact_every`` epochs (None = only on demand)."""
         self.spark = spark
         self.base_dir = base_dir
         self.tables = tables or {
@@ -86,6 +92,11 @@ class CdcPipeline:
         self.validate = validate
         self.run_id = run_id
         self.strict_routing = strict_routing
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
+        self.merge_mode = merge_mode
+        self.compact_every = compact_every
+        self._epochs_since_compact = 0
         self.last_stats: dict = {}
 
     # ------------------------------------------------------------------ batch
@@ -225,9 +236,15 @@ class CdcPipeline:
                 upserts = winners.filter(F.col("op") == OP_MUTATION).select(*KEY_COLS, *PAYLOAD_COLS)
                 deletes = winners.filter(F.col("op") != OP_MUTATION).select(*KEY_COLS)
                 ek = epoch_key if len(self.tables) == 1 else f"{epoch_key}@{name}"
-                res = table.merge(upserts, deletes, epoch_id=ek, n_updates=n_winners)
+                merge_fn = table.merge_mor if self.merge_mode == "mor" else table.merge
+                res = merge_fn(upserts, deletes, epoch_id=ek, n_updates=n_winners)
                 if not res.get("skipped"):
                     total += n_winners
+                if self.merge_mode == "mor" and self.compact_every:
+                    self._epochs_since_compact += 1
+                    if self._epochs_since_compact >= self.compact_every:
+                        table.compact()
+                        self._epochs_since_compact = 0
             finally:
                 winners.unpersist()
         return total

@@ -6,11 +6,18 @@ own minimal table format with the four properties the CDC sink needs
 cluster with ``iceberg-spark-runtime`` the same ``merge()`` call becomes a
 real ``MERGE INTO`` (see ``iceberg_merge_sql`` below).
 
-1. **Keyed MERGE (upsert + delete)** — bucketed copy-on-write: the table is
-   hash-bucketed on the full document key; a merge rewrites ONLY the buckets
-   containing updated keys (Iceberg partition-level COW). At 100 TB this
-   makes merge cost proportional to touched data, not table size; bucket
-   count scales with the table (tests use 16, a 100 TB table uses O(10^4-10^5)).
+1. **Keyed MERGE (upsert + delete)** — two modes, mirroring Iceberg's:
+   - **copy-on-write** (``merge``): rewrite ONLY the buckets containing
+     updated keys (partition-level COW). Merge cost ∝ touched data; best for
+     large, infrequent batches and read-heavy tables.
+   - **merge-on-read** (``merge_mor``): append the epoch's upserts + delete
+     markers as a versioned delta (NO read or rewrite of existing data —
+     merge cost ∝ batch size only); readers resolve last-writer-wins by
+     delta version; ``compact()`` folds deltas back into the base. This is
+     what keeps frequent small epochs viable at 100 TB (a COW rewrite of a
+     touched bucket per epoch would amplify writes unboundedly).
+   Bucket count scales with the table (tests use 16, a 100 TB table uses
+   O(10^4-10^5)).
 2. **Atomic commit** — data files written first, then a single manifest JSON
    swapped via ``os.replace`` (POSIX-atomic). Readers see old or new, never
    a mix. This is the analog of an Iceberg snapshot commit (acks=all).
@@ -76,12 +83,14 @@ class SnapshotTable:
                 "num_buckets": self.num_buckets,
                 "key_cols": list(self.key_cols),
                 "buckets": {},
+                "deltas": [],
                 "committed_epochs": {},
                 "schema": self._default_schema.json() if self._default_schema else None,
             }
         with open(p) as f:
             m = json.load(f)
         self.num_buckets = m["num_buckets"]
+        m.setdefault("deltas", [])
         return m
 
     def _commit_manifest(self, manifest: dict[str, Any]) -> None:
@@ -102,8 +111,7 @@ class SnapshotTable:
     def committed_epochs(self) -> set[str]:
         return set(self._load_manifest()["committed_epochs"])
 
-    def read(self, manifest: dict | None = None) -> DataFrame:
-        m = manifest or self._load_manifest()
+    def _read_base(self, m: dict) -> DataFrame:
         dirs = sorted(set(m["buckets"].values()))
         dirs = [os.path.join(self.path, d) for d in dirs]
         dirs = [d for d in dirs if os.path.isdir(d)]
@@ -113,6 +121,36 @@ class SnapshotTable:
                 raise ValueError("empty table with no schema recorded")
             return self.spark.createDataFrame([], schema)
         return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+    def read(self, manifest: dict | None = None) -> DataFrame:
+        """Current table state. With outstanding MOR deltas, resolves
+        last-writer-wins by delta version (base rows are version 0 — any
+        compaction clears deltas, so base < every live delta) and applies
+        delete markers."""
+        m = manifest or self._load_manifest()
+        base = self._read_base(m)
+        ddirs = []
+        for d in m.get("deltas", []):
+            root = os.path.join(self.path, d)
+            if os.path.isdir(root):
+                # leaf bucket dirs: avoids partition discovery across
+                # multiple delta roots (CONFLICTING_DIRECTORY_STRUCTURES)
+                ddirs += [
+                    os.path.join(root, e) for e in os.listdir(root) if e.startswith("_bucket=")
+                ]
+        if not ddirs:
+            return base
+        deltas = self.spark.read.option("mergeSchema", "true").parquet(*sorted(ddirs))
+        base2 = base.withColumns({"_op": F.lit("u"), "_v": F.lit(0)})
+        allr = base2.unionByName(deltas, allowMissingColumns=True)
+        payload = [c for c in allr.columns if c not in (*self.key_cols, "_op", "_v")]
+        w = allr.groupBy(*self.key_cols).agg(
+            F.max_by(F.struct(F.col("_op"), *[F.col(c) for c in payload]), F.col("_v")).alias("w")
+        )
+        resolved = w.filter(F.col("w._op") == "u").select(
+            *self.key_cols, *[F.col(f"w.{c}").alias(c) for c in payload]
+        )
+        return resolved
 
     def _read_buckets(self, m: dict, buckets: list[int]) -> DataFrame | None:
         dirs = sorted({m["buckets"][str(b)] for b in buckets if str(b) in m["buckets"]})
@@ -149,6 +187,11 @@ class SnapshotTable:
         m = self._load_manifest()
         if epoch_id in m["committed_epochs"]:
             return {"skipped": True, "epoch": epoch_id, "version": m["version"]}
+        if m.get("deltas"):
+            # COW over outstanding MOR deltas would resurrect overwritten
+            # rows; fold them into the base first
+            self.compact()
+            m = self._load_manifest()
 
         bexpr = _bucket_expr(self.key_cols, self.num_buckets)
         upserts = upserts.withColumn("_bucket", bexpr)
@@ -205,6 +248,67 @@ class SnapshotTable:
         finally:
             keys.unpersist()
 
+    def merge_mor(
+        self,
+        upserts: DataFrame,
+        delete_keys: DataFrame | None,
+        epoch_id: str,
+        n_updates: int | None = None,
+    ) -> dict[str, Any]:
+        """Merge-on-read: append this epoch's upserts and delete markers as a
+        versioned delta — NO read or rewrite of existing data. Readers
+        resolve LWW by version (read()); ``compact()`` folds deltas into the
+        base. Identical external semantics to merge(); write cost ∝ batch.
+        This is the Iceberg MOR / equality-delete pattern."""
+        epoch_id = str(epoch_id)
+        m = self._load_manifest()
+        if epoch_id in m["committed_epochs"]:
+            return {"skipped": True, "epoch": epoch_id, "version": m["version"]}
+        new_version = m["version"] + 1
+        rel_dir = f"data/v{new_version:06d}-delta"
+        out_dir = os.path.join(self.path, rel_dir)
+        bexpr = _bucket_expr(self.key_cols, self.num_buckets)
+        rows = upserts.withColumn("_op", F.lit("u"))
+        if delete_keys is not None:
+            rows = rows.unionByName(
+                delete_keys.select(*self.key_cols).withColumn("_op", F.lit("d")),
+                allowMissingColumns=True,
+            )
+        rows = rows.withColumns({"_v": F.lit(new_version), "_bucket": bexpr})
+        # upserts come from the key-grouped fold: already bucket-aligned, no
+        # repartition (deltas are small; one file per bucket per task)
+        rows.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        m["deltas"].append(rel_dir)
+        m["version"] = new_version
+        m["committed_epochs"][epoch_id] = new_version
+        self._commit_manifest(m)
+        return {"skipped": False, "epoch": epoch_id, "version": new_version, "mode": "mor"}
+
+    def compact(self) -> dict[str, Any]:
+        """Fold outstanding deltas into the base (Iceberg rewrite/compaction).
+        The resolved read is a key-grouped fold, so the rewrite is
+        bucket-aligned. Clears the delta list atomically with the new base."""
+        m = self._load_manifest()
+        if not m.get("deltas"):
+            return {"compacted": False}
+        resolved = self.read(m)
+        new_version = m["version"] + 1
+        rel_dir = f"data/v{new_version:06d}"
+        out_dir = os.path.join(self.path, rel_dir)
+        bexpr = _bucket_expr(self.key_cols, self.num_buckets)
+        resolved.withColumn("_bucket", bexpr).write.partitionBy("_bucket").mode(
+            "overwrite"
+        ).parquet(out_dir)
+        m["buckets"] = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith("_bucket="):
+                m["buckets"][entry.split("=")[1]] = os.path.join(rel_dir, entry)
+        m["deltas"] = []
+        m["version"] = new_version
+        m["schema"] = resolved.schema.json()
+        self._commit_manifest(m)
+        return {"compacted": True, "version": new_version}
+
     def overwrite(self, df: DataFrame, epoch_id: str = "overwrite-0", aligned: bool = False) -> dict[str, Any]:
         """Full-table replace (the batch-replay M1 path).
 
@@ -226,6 +330,7 @@ class SnapshotTable:
         for entry in os.listdir(out_dir):
             if entry.startswith("_bucket="):
                 m["buckets"][entry.split("=")[1]] = os.path.join(rel_dir, entry)
+        m["deltas"] = []
         m["version"] = new_version
         m["schema"] = df.schema.json()
         m["committed_epochs"][str(epoch_id)] = new_version
@@ -238,6 +343,7 @@ class SnapshotTable:
         because topic compaction GCs for it — kafka_metadata.go:131-133)."""
         m = self._load_manifest()
         live = {d.split("/")[1] for d in m["buckets"].values()}
+        live |= {d.split("/")[1] for d in m.get("deltas", [])}
         data_root = os.path.join(self.path, "data")
         if not os.path.isdir(data_root):
             return

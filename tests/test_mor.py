@@ -1,0 +1,51 @@
+"""Merge-on-read mode: identical external semantics to copy-on-write."""
+
+import pytest
+
+from go_dcp_kafka_spark.gen import fold_oracle
+from go_dcp_kafka_spark.streaming.runner import CdcPipeline
+from tests.conftest import assert_frames_equal
+
+
+def test_mor_streaming_matches_oracle(spark, gen_result, log_info, tmp_path):
+    pipe = CdcPipeline(spark, str(tmp_path / "t"), run_id="mor", merge_mode="mor")
+    pipe.run_stream(log_info["dir"], str(tmp_path / "ck"), max_files_per_trigger=2)
+    tbl = pipe.tables["transcripts"]
+    assert tbl._load_manifest()["deltas"], "MOR run produced no deltas"
+    assert_frames_equal(pipe.read_table().toPandas(), fold_oracle(gen_result.events))
+
+
+def test_mor_compaction_preserves_state(spark, gen_result, log_info, tmp_path):
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "t"), run_id="morc", merge_mode="mor", compact_every=2
+    )
+    pipe.run_stream(log_info["dir"], str(tmp_path / "ck"), max_files_per_trigger=2)
+    tbl = pipe.tables["transcripts"]
+    # 4 epochs, compact every 2 -> no outstanding deltas at the end
+    assert tbl._load_manifest()["deltas"] == []
+    assert_frames_equal(pipe.read_table().toPandas(), fold_oracle(gen_result.events))
+    # explicit final compact is a no-op
+    assert tbl.compact() == {"compacted": False}
+
+
+def test_cow_over_mor_deltas_autocompacts(spark, gen_result, log_info, tmp_path):
+    """Switching merge modes mid-table must not resurrect overwritten rows."""
+    from pyspark.sql import functions as F
+
+    pipe = CdcPipeline(spark, str(tmp_path / "t"), run_id="mix", merge_mode="mor")
+    pipe.run_stream(log_info["dir"], str(tmp_path / "ck"), max_files_per_trigger=4)
+    tbl = pipe.tables["transcripts"]
+    assert tbl._load_manifest()["deltas"]
+    before = pipe.read_table().toPandas()
+    # a COW merge on top of outstanding deltas: upsert one row
+    one = pipe.read_table().limit(1).withColumn("text", F.lit("cow-upsert"))
+    tbl.merge(one, None, epoch_id="mix-extra", n_updates=1)
+    assert tbl._load_manifest()["deltas"] == []  # auto-compacted
+    after = pipe.read_table().toPandas()
+    assert len(after) == len(before)
+    assert (after["text"] == "cow-upsert").sum() == 1
+
+
+def test_invalid_merge_mode_rejected(spark, tmp_path):
+    with pytest.raises(ValueError):
+        CdcPipeline(spark, str(tmp_path / "t"), merge_mode="magic")
