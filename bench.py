@@ -84,11 +84,21 @@ def main() -> None:
         batch_sec = time.time() - t0
         n_rows = pipe.read_table().count()
 
-        # ---- streaming replay (micro-batched merge-apply) ------------------
+        # ---- streaming replay, copy-on-write merges ------------------------
         t0 = time.time()
         spipe = CdcPipeline(spark, os.path.join(work, "tbl_stream"), num_buckets=n_buckets, run_id="bench-s")
         spipe.run_stream(log_dir, os.path.join(work, "ckpt"), max_files_per_trigger=16)
         stream_sec = time.time() - t0
+
+        # ---- streaming replay, merge-on-read (the frequent-epoch path) ----
+        t0 = time.time()
+        mpipe = CdcPipeline(
+            spark, os.path.join(work, "tbl_mor"), num_buckets=n_buckets,
+            run_id="bench-m", merge_mode="mor",
+        )
+        mpipe.run_stream(log_dir, os.path.join(work, "ckpt_m"), max_files_per_trigger=16)
+        mpipe.tables["transcripts"].compact()
+        stream_mor_sec = time.time() - t0
 
         queries_sec: dict[str, float] = {}
         if not skip_queries:
@@ -112,6 +122,8 @@ def main() -> None:
                 "batch_events_per_sec": round(n_events / batch_sec),
                 "stream_replay_sec": round(stream_sec, 3),
                 "stream_events_per_sec": round(n_events / stream_sec),
+                "stream_mor_replay_sec": round(stream_mor_sec, 3),
+                "stream_mor_events_per_sec": round(n_events / stream_mor_sec),
                 "cpus": cpus,
             },
         }

@@ -1,0 +1,112 @@
+"""SnapshotTable + CheckpointStore unit semantics (SURVEY §2.3 A5-A7)."""
+
+import glob
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from go_dcp_kafka_spark.operators.salting import salt_col, salted_repartition, two_phase_agg
+from go_dcp_kafka_spark.streaming.checkpoints import CheckpointStore
+from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+
+def _mk(spark, tmp_path, rows, buckets=4):
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), buckets)
+    df = spark.createDataFrame(rows, ["k", "v"])
+    t.merge(df, None, epoch_id="e0", n_updates=len(rows))
+    return t
+
+
+def test_merge_upsert_delete_and_bucket_pruning(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(100)])
+    v1 = t.version()
+    # upsert 3, delete 2
+    ups = spark.createDataFrame([(1, "NEW"), (2, "NEW")], ["k", "v"])
+    dels = spark.createDataFrame([(3,), (4,)], ["k"])
+    res = t.merge(ups, dels, epoch_id="e1", n_updates=4)
+    assert not res["skipped"]
+    # only buckets containing keys 1..4 rewritten
+    assert 0 < len(res["touched_buckets"]) <= 4
+    out = {r["k"]: r["v"] for r in t.read().collect()}
+    assert out[1] == "NEW" and out[2] == "NEW"
+    assert 3 not in out and 4 not in out and len(out) == 98
+    assert t.version() == v1 + 1
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(10)])
+    ups = spark.createDataFrame([(1, "x", "extra")], ["k", "v", "meta"])
+    t.merge(ups, None, epoch_id="e1", n_updates=1)
+    df = t.read()
+    assert "meta" in df.columns
+    rows = {r["k"]: r["meta"] for r in df.collect()}
+    assert rows[1] == "extra"
+    assert all(v is None for k, v in rows.items() if k != 1)
+
+
+def test_expire_snapshots(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(i, "a") for i in range(20)])
+    for e in range(3):
+        ups = spark.createDataFrame([(1, f"u{e}")], ["k", "v"])
+        t.merge(ups, None, epoch_id=f"up{e}", n_updates=1)
+    data_root = str(tmp_path / "t" / "data")
+    before = len(os.listdir(data_root))
+    t.expire_snapshots(keep_last=0)
+    after = len(os.listdir(data_root))
+    assert after < before
+    # table still fully readable after GC
+    assert t.read().count() == 20
+    assert {r["v"] for r in t.read().filter("k = 1").collect()} == {"u2"}
+
+
+def test_checkpoint_store_lww_and_backfill(tmp_path):
+    cs = CheckpointStore(str(tmp_path / "ck"))
+    cs.commit(pd.DataFrame({"partition_id": [0, 1], "hwm_seqno": [10, 20]}), "r:0")
+    cs.commit(pd.DataFrame({"partition_id": [1, 2], "hwm_seqno": [25, 5]}), "r:1")
+    m = cs.hwm_map()
+    assert m == {0: 10, 1: 25, 2: 5}  # LWW per partition, dirty-only writes
+    # re-delivered epoch ignored (idempotent)
+    cs.commit(pd.DataFrame({"partition_id": [0], "hwm_seqno": [999]}), "r:1")
+    assert cs.hwm_map()[0] == 10
+    # empty-doc backfill (kafka_metadata.go:121-126 analog)
+    bf = cs.load_backfilled([0, 1, 2, 3, 4])
+    assert bf[bf.partition_id == 3]["hwm_seqno"].iloc[0] == -1
+    assert len(bf) == 5
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(2000)] + [("cold", i) for i in range(10)],
+        ["conv_id", "turn_idx"],
+    )
+    out = salted_repartition(df, "conv_id", "turn_idx", buckets=8, n_partitions=8)
+    from pyspark.sql.functions import spark_partition_id
+
+    spread = (
+        out.filter("conv_id = 'hot'")
+        .select(spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert spread >= 4, f"hot key landed in only {spread} partitions"
+    # deterministic salt: same row -> same salt on recompute (replay-safe)
+    s1 = df.select(salt_col("turn_idx", 8).alias("s")).collect()
+    s2 = df.select(salt_col("turn_idx", 8).alias("s")).collect()
+    assert s1 == s2
+
+
+def test_two_phase_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(5000)] + [("c", 1, 2.0)],
+        ["conv_id", "turn_idx", "x"],
+    )
+    plain = {
+        r["conv_id"]: (r["n"], r["mx"])
+        for r in df.groupBy("conv_id").agg(F.count("x").alias("n"), F.max("x").alias("mx")).collect()
+    }
+    salted = {
+        r["conv_id"]: (r["n"], r["mx"])
+        for r in two_phase_agg(df, "conv_id", {"n": ("x", "count"), "mx": ("x", "max")}).collect()
+    }
+    assert plain == salted
