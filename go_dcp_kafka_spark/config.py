@@ -1,0 +1,130 @@
+"""Config + builder surface — the NewConnectorBuilder lifecycle (SURVEY §3.1).
+
+The reference accepts config as a struct, a file path, or YAML text with
+``${ENV_VAR}`` substitution (connector.go:195-206, 236-257), then applies
+defaults (config/config.go:82-114: batchSize 2000, batchBytes 1MB, ticker
+10s, ...). Ours: a dataclass, a YAML loader with the same env-substitution
+regex semantics, and a fluent ``PipelineBuilder``
+(NewConnectorBuilder(cfg).SetMapper(m).Build() analog,
+connector.go:266-287).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field, fields
+from typing import Any
+
+_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def substitute_env(text: str) -> str:
+    """${VAR} -> os.environ[VAR] (empty string when unset — matching the
+    reference's os.Getenv semantics, connector.go:241-249)."""
+    return _ENV_RE.sub(lambda m: os.environ.get(m.group(1), ""), text)
+
+
+@dataclass
+class PipelineConfig:
+    """Engine analog of config.Connector{Kafka, Dcp}. Defaults mirror the
+    reference's applyKafkaDefaults/applyDcpDefaults where a Spark analog
+    exists; batching knobs map to source rate limits + trigger."""
+
+    base_dir: str = "./cdc_table"
+    source_dir: str = "./change_log"
+    checkpoint_location: str = "./spark_ckpt"
+    num_buckets: int = 16
+    merge_mode: str = "cow"               # 'cow' | 'mor'
+    compact_every: int | None = None
+    max_files_per_trigger: int = 2        # producerBatchSize analog (source rate limit)
+    trigger_seconds: float | None = None  # producerBatchTickerDuration analog (10s default there)
+    run_id: str = "run"
+    strict_routing: bool = False          # reference panics on missing mapping
+    routing: dict[str, str] = field(default_factory=dict)
+    shuffle_partitions: int | None = None
+    app_name: str = "go_dcp_kafka_spark"
+
+    @classmethod
+    def from_yaml(cls, path_or_text: str) -> PipelineConfig:
+        import yaml
+
+        text = path_or_text
+        if os.path.exists(path_or_text):
+            with open(path_or_text) as f:
+                text = f.read()
+        raw: dict[str, Any] = yaml.safe_load(substitute_env(text)) or {}
+        known = {f.name for f in fields(cls)}
+        unknown = set(raw) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**raw)
+
+
+class PipelineBuilder:
+    """Fluent builder: collects config + mapper + handlers, validates, and
+    wires the pipeline — the reference's builder collects config/mapper/
+    handlers and newConnector validates topics + wires commit closures."""
+
+    def __init__(self, config: PipelineConfig | str | dict):
+        if isinstance(config, str):
+            config = PipelineConfig.from_yaml(config)
+        elif isinstance(config, dict):
+            config = PipelineConfig(**config)
+        self.config = config
+        self._mapper = None
+        self._validate = None
+        self._on_epoch_complete = None
+        self._spark = None
+        self._tables = None
+
+    def set_spark(self, spark):
+        self._spark = spark
+        return self
+
+    def set_mapper(self, mapper):
+        """SetMapper analog (connector.go:275-278)."""
+        self._mapper = mapper
+        return self
+
+    def set_validator(self, predicate):
+        """SinkResponseHandler/dead-letter analog."""
+        self._validate = predicate
+        return self
+
+    def set_tables(self, tables: dict):
+        self._tables = tables
+        return self
+
+    def on_epoch_complete(self, callback):
+        """completionHandler analog (connector.go:309-312): invoked with the
+        epoch stats dict after each durable commit."""
+        self._on_epoch_complete = callback
+        return self
+
+    def build(self):
+        from go_dcp_kafka_spark.session import get_spark
+        from go_dcp_kafka_spark.streaming.runner import CdcPipeline
+
+        c = self.config
+        spark = self._spark or get_spark(c.app_name, shuffle_partitions=c.shuffle_partitions)
+        mapper = self._mapper
+        if c.routing and mapper is None:
+            from go_dcp_kafka_spark.functions.mapper import route_mapper
+
+            mapper = route_mapper(c.routing)
+        pipe = CdcPipeline(
+            spark,
+            c.base_dir,
+            tables=self._tables,
+            mapper=mapper,
+            validate=self._validate,
+            num_buckets=c.num_buckets,
+            run_id=c.run_id,
+            strict_routing=c.strict_routing,
+            merge_mode=c.merge_mode,
+            compact_every=c.compact_every,
+        )
+        pipe.on_epoch_complete = self._on_epoch_complete
+        pipe.config = c
+        return pipe

@@ -98,6 +98,9 @@ class CdcPipeline:
         self.compact_every = compact_every
         self._epochs_since_compact = 0
         self.last_stats: dict = {}
+        #: completionHandler analog (connector.go:309-312): called with the
+        #: epoch stats dict after every durable commit
+        self.on_epoch_complete = None
 
     # ------------------------------------------------------------------ batch
     def apply_batch(self, batch_df: DataFrame, epoch_id: int | str) -> None:
@@ -211,6 +214,8 @@ class CdcPipeline:
                     lin[c] = lin[c].fillna(0).astype("int64")
                 self.lineage.append(lin, epoch_key)
             self.last_stats = {"epoch": epoch_key, "n_merged": n_merged}
+            if self.on_epoch_complete is not None:
+                self.on_epoch_complete(self.last_stats)
         finally:
             batch_df.unpersist()
 

@@ -1,0 +1,52 @@
+"""Config loading + builder lifecycle (SURVEY §3.1 / §2.7)."""
+
+import pytest
+
+from go_dcp_kafka_spark.config import PipelineBuilder, PipelineConfig, substitute_env
+from go_dcp_kafka_spark.gen import fold_oracle
+from tests.conftest import assert_frames_equal
+
+
+def test_env_substitution(monkeypatch):
+    monkeypatch.setenv("CDC_DIR", "/data/x")
+    monkeypatch.delenv("CDC_MISSING", raising=False)
+    out = substitute_env("a: ${CDC_DIR}/log\nb: ${CDC_MISSING}end")
+    assert out == "a: /data/x/log\nb: end"  # unset -> empty, like os.Getenv
+
+
+def test_yaml_config_with_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("CDC_BASE", str(tmp_path / "base"))
+    y = tmp_path / "cfg.yml"
+    y.write_text(
+        "base_dir: ${CDC_BASE}\nsource_dir: /src\nnum_buckets: 8\nmerge_mode: mor\n"
+    )
+    cfg = PipelineConfig.from_yaml(str(y))
+    assert cfg.base_dir == str(tmp_path / "base")
+    assert cfg.num_buckets == 8 and cfg.merge_mode == "mor"
+    assert cfg.max_files_per_trigger == 2  # defaults applied
+
+
+def test_unknown_config_keys_rejected():
+    with pytest.raises(ValueError, match="unknown config keys"):
+        PipelineConfig.from_yaml("base_dir: /x\nbogus_knob: 1\n")
+
+
+def test_builder_end_to_end_with_completion_handler(spark, gen_result, log_info, tmp_path):
+    seen = []
+    pipe = (
+        PipelineBuilder(
+            {
+                "base_dir": str(tmp_path / "t"),
+                "source_dir": log_info["dir"],
+                "checkpoint_location": str(tmp_path / "ck"),
+                "num_buckets": 8,
+                "run_id": "built",
+            }
+        )
+        .set_spark(spark)
+        .on_epoch_complete(seen.append)
+        .build()
+    )
+    pipe.run_stream(log_info["dir"], str(tmp_path / "ck"), max_files_per_trigger=4)
+    assert len(seen) >= 2 and all("epoch" in s for s in seen)
+    assert_frames_equal(pipe.read_table().toPandas(), fold_oracle(gen_result.events))
