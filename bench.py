@@ -36,11 +36,21 @@ from go_dcp_kafka_spark.sources.changelog import read_change_log  # noqa: E402
 from go_dcp_kafka_spark.streaming.runner import CdcPipeline  # noqa: E402
 
 
-def build_log(n_events_target: int, out_dir: str, n_files: int = 64) -> int:
+def build_log(n_events_target: int, n_files: int = 64) -> tuple[str, int]:
     """Deterministic log sized to ~n_events_target (events scale ~6.2x convs).
 
     64 files so the scan stage has enough input splits to use 4N cores —
-    at real scale the DCP log is thousands of files/offsets, never 8."""
+    at real scale the DCP log is thousands of files/offsets, never 8.
+
+    Generation is seeded and parameter-determined, so the log is cached in
+    a shared temp dir keyed by (target, n_files) — scaling runs reuse it."""
+    import json as _json
+
+    cache = os.path.join(tempfile.gettempdir(), f"cdc_bench_log_{n_events_target}_{n_files}")
+    meta = os.path.join(cache, "_gen_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return cache, _json.load(f)["n_events"]
     n_convs = max(int(n_events_target / 6.2), 100)
     cfg = GenConfig(
         seed=42,
@@ -52,8 +62,12 @@ def build_log(n_events_target: int, out_dir: str, n_files: int = 64) -> int:
         dup_len=5000,
     )
     res = generate_change_events(cfg)
-    write_change_log(res.events, out_dir, n_files=n_files, evolution_boundary=res.meta["evolution_boundary"])
-    return len(res.events)
+    tmp = cache + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_change_log(res.events, tmp, n_files=n_files, evolution_boundary=res.meta["evolution_boundary"])
+    shutil.rmtree(cache, ignore_errors=True)
+    os.replace(tmp, cache)
+    return cache, len(res.events)
 
 
 def main() -> None:
@@ -66,8 +80,7 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="cdc_bench_")
     try:
-        log_dir = os.path.join(work, "log")
-        n_events = build_log(n_target, log_dir)
+        log_dir, n_events = build_log(n_target)
 
         # warm the JVM/codegen/parquet reader so the metric measures
         # sustained merge-apply throughput, not one-time session startup
