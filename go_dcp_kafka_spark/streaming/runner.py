@@ -189,7 +189,12 @@ class CdcPipeline:
                 mapped = mapped.filter(F.coalesce(self.validate, F.lit(False)))
 
             # ---- route (P4) + LWW + MERGE (S3) ----------------------------
-            n_merged = self._merge_routed(mapped, epoch_key)
+            # upper bound on update keys (pre-LWW fresh count) — drives the
+            # merge's broadcast decision without an extra counting job
+            n_upper = int(
+                stats_pd[["n_mutations", "n_deletions", "n_expirations"]].sum().sum()
+            )
+            n_merged = self._merge_routed(mapped, epoch_key, n_upper)
 
             # ---- checkpoint commit, strictly after the durable merge ------
             if epoch_key not in self.checkpoints.committed_epochs():
@@ -219,7 +224,7 @@ class CdcPipeline:
         finally:
             batch_df.unpersist()
 
-    def _merge_routed(self, mapped: DataFrame, epoch_key: str) -> int:
+    def _merge_routed(self, mapped: DataFrame, epoch_key: str, n_upper: int | None = None) -> int:
         """Split by routing target and MERGE each. Missing mapping: the
         reference panics (connector.go:132-138); we dead-letter (or raise
         with strict_routing=True)."""
@@ -235,16 +240,14 @@ class CdcPipeline:
             part = mapped.filter(F.col("target") == name).drop("target") if has_target else mapped
             winners = lww_winners(part).persist()
             try:
-                # materialize + count up front: feeds lineage AND lets the
-                # merge broadcast the update-key probe side
-                n_winners = winners.count()
                 upserts = winners.filter(F.col("op") == OP_MUTATION).select(*KEY_COLS, *PAYLOAD_COLS)
                 deletes = winners.filter(F.col("op") != OP_MUTATION).select(*KEY_COLS)
                 ek = epoch_key if len(self.tables) == 1 else f"{epoch_key}@{name}"
                 merge_fn = table.merge_mor if self.merge_mode == "mor" else table.merge
-                res = merge_fn(upserts, deletes, epoch_id=ek, n_updates=n_winners)
+                res = merge_fn(upserts, deletes, epoch_id=ek, n_updates=n_upper)
                 if not res.get("skipped"):
-                    total += n_winners
+                    # cheap: winners was materialized into cache by the merge
+                    total += winners.count()
                 if self.merge_mode == "mor" and self.compact_every:
                     self._epochs_since_compact += 1
                     if self._epochs_since_compact >= self.compact_every:

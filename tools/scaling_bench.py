@@ -35,8 +35,13 @@ def run(cpus: int, n_events: int) -> dict:
         BENCH_EVENTS=str(n_events),
         BENCH_SKIP_QUERIES="1",
     )
+    # taskset pins the WHOLE process (Spark task threads AND JVM GC/IO/
+    # native parquet threads) to exactly N cores — without it, local[1]
+    # quietly uses 2-3 cores of background JVM work and the N-level
+    # throughput is overstated, understating efficiency
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0",
+         sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
         capture_output=True,
         text=True,
