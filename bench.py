@@ -101,14 +101,20 @@ def main() -> None:
         read_change_log(spark, log_dir).limit(1000).count()
 
         # ---- headline: batch replay (fold + normalize + table write) ------
-        # run twice, report the steady-state (2nd) run: the first carries
-        # ~5s of ONE-TIME serial cost (whole-stage codegen compilation,
-        # stage warmup) that would otherwise dominate small-scale timings —
-        # the 10^10-event design point amortizes it to nothing
+        # 3 repetitions, report the fastest steady-state run: the first
+        # carries ~5s of ONE-TIME serial cost (whole-stage codegen, stage
+        # warmup) and this virtualized host's speed drifts run-to-run; the
+        # 10^10-event design point amortizes both to nothing
+        def _jvm_cpu_sec() -> float:
+            import subprocess as sp
+
+            out = sp.run(["ps", "-o", "cputimes=", "-C", "java"], capture_output=True, text=True).stdout
+            return sum(float(x) for x in out.split())
+
         n_buckets = max(cpus, 8)  # == shuffle partitions: bucket-aligned write
-        batch_secs = []
-        for i in range(2):
-            t0 = time.time()
+        batch_secs, batch_cpus = [], []
+        for i in range(3):
+            c0, t0 = _jvm_cpu_sec(), time.time()
             pipe = CdcPipeline(
                 spark, os.path.join(work, f"tbl_batch{i}"), num_buckets=n_buckets, run_id="bench"
             )
@@ -116,7 +122,10 @@ def main() -> None:
             final = fold_change_events(events, normalize_text=normalize_text_col("text"))
             pipe.tables["transcripts"].overwrite(final, epoch_id="bench-batch", aligned=True)
             batch_secs.append(time.time() - t0)
-        batch_sec = batch_secs[-1]
+            batch_cpus.append(_jvm_cpu_sec() - c0)
+        # the LAST rep: JIT-settled (C2 compiler threads burn CPU in early
+        # reps and would pollute the work accounting), steady-state wall
+        batch_sec, batch_cpu = batch_secs[-1], batch_cpus[-1]
         n_rows = pipe.read_table().count()
 
         # warm the streaming epoch plan shapes (codegen) on a 2-file slice
@@ -164,6 +173,8 @@ def main() -> None:
                 "final_rows": n_rows,
                 "batch_replay_sec": round(batch_sec, 3),
                 "batch_events_per_sec": round(n_events / batch_sec),
+                "batch_jvm_cpu_sec": round(batch_cpu, 1),
+                "batch_core_utilization": round(batch_cpu / batch_sec / cpus, 3),
                 "stream_replay_sec": round(stream_sec, 3),
                 "stream_events_per_sec": round(n_events / stream_sec),
                 "stream_mor_replay_sec": round(stream_mor_sec, 3),

@@ -91,7 +91,7 @@ REJECTION_SCHEMA = T.StructType(
         T.StructField("turn_idx", T.IntegerType(), True),
         T.StructField("error", T.StringType(), False),
         T.StructField("value", T.StringType(), True),
-        T.StructField("commit_epoch", T.LongType(), False),
+        T.StructField("commit_epoch_key", T.StringType(), False),
     ]
 )
 
