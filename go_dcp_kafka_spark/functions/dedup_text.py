@@ -75,20 +75,23 @@ def minhash_band_buckets(
     concatenated minhash values."""
     from go_dcp_kafka_spark.functions.hashing import md5_hash60
 
-    out = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        out.append(
-            signatures.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                md5_hash60(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_key"),
+    # single pass: posexplode of per-band keys (a union of B selects would
+    # recompute the signature pipeline B times)
+    keys = [
+        md5_hash60(
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
         )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "doc_id", F.posexplode(F.array(*keys)).alias("band_id", "band_key")
+    )
 
 
 def minhash_near_duplicates(

@@ -88,16 +88,61 @@ def doc_fingerprint(text: Column, shingle_words: int = 8) -> Column:
     return F.array_min(F.transform(shingles, h31))
 
 
-def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-scan profile of a documents table (the composite operator)."""
+def text_profile(docs: DataFrame, text_col: str = "text", shingle_words: int = 8) -> DataFrame:
+    """One-scan profile of a documents table (the composite operator).
+
+    Built as STAGED projections so each ingredient (the tokenized words
+    array, each ratio) is computed exactly once: naively composing the
+    standalone functions above inlines regexp_extract_all ~20x per row into
+    one giant expression tree, which blows past the whole-stage-codegen
+    method budget and falls back to interpreted evaluation (~30x slower).
+    Catalyst collapses the staged projects into a single codegen'd stage —
+    still one scan, no shuffle."""
     t = F.col(text_col)
-    return docs.select(
+    s1 = docs.select(
         "doc_id",
-        token_count_ws(t).alias("n_tokens_ws"),
-        token_count_bpe(t).alias("n_tokens_bpe"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_pred"),
-        doc_fingerprint(t).alias("fingerprint"),
+        t.alias("_t"),
+        F.regexp_extract_all(F.lower(t), F.lit(WS_TOKEN_RE), 0).alias("_w"),
+    )
+    nw = F.size("_w")
+    n_stop = F.size(F.filter("_w", lambda w: w.isin(list(_STOPWORDS))))
+    s2 = s1.select(
+        "doc_id",
+        "_t",
+        "_w",
+        nw.alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all("_t", F.lit(BPE_TOKEN_RE), 0)).alias("n_tokens_bpe"),
+        F.when(nw > 0, n_stop / nw).otherwise(F.lit(0.0)).alias("_stop"),
+        F.when(
+            F.length("_t") > 0,
+            F.size(F.regexp_extract_all("_t", F.lit(r"[^\w\s]"), 0)) / F.length("_t"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_punct"),
+        F.when(
+            nw > 0,
+            F.aggregate("_w", F.lit(0), lambda acc, w: acc + F.length(w)).cast("double") / nw,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_wl"),
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_w") - (shingle_words - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice("_w", i, shingle_words)),
+    )
+    quality = (
+        F.least(F.length("_t") / F.lit(400.0), F.lit(1.0)) * 0.3
+        + F.least(F.col("_stop") * 5.0, F.lit(1.0)) * 0.3
+        + F.greatest(F.lit(1.0) - F.col("_punct") * 4.0, F.lit(0.0)) * 0.2
+        + F.when((F.col("_wl") >= 3.0) & (F.col("_wl") <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5)) * 0.2
+    )
+    return s2.select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        F.round("_stop", 6).alias("stopword_ratio"),
+        F.round("_punct", 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+        F.when(F.col("_stop") >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+        F.array_min(F.transform(shingles, h31)).alias("fingerprint"),
     )
