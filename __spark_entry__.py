@@ -206,6 +206,51 @@ def q_join_agg(spark, sf_dir):
     )
 
 
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: scan + filter (pushed to parquet) +
+    hash agg with map-side combine."""
+    li = _read(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(rev).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_topk_orders(spark, sf_dir):
+    """TPC-H Q3-style: 3-way join, filtered segment, per-order revenue,
+    top-10 (TakeOrderedAndProject; nation/customer side broadcast)."""
+    c = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_emb_knn_join(spark, sf_dir):
+    """Batch kNN: top-5 corpus matches per query vector within shared
+    sign-LSH buckets (broadcast queries + per-query window top-k)."""
+    from go_dcp_kafka_spark.functions.similarity import pairwise_topk_join
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return pairwise_topk_join(queries_df, emb, k=5)
+
+
 # ======================================================== dedup / text ops
 def q_doc_exact_dedup(spark, sf_dir):
     from go_dcp_kafka_spark.functions.dedup_text import exact_duplicates
@@ -301,6 +346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_full_fold": q_cdc_full_fold,
         "sort_topk": q_sort_topk,
         "join_agg": q_join_agg,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_topk_orders": q_tpch_topk_orders,
+        "emb_knn_join": q_emb_knn_join,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_text_profile": q_doc_text_profile,
         "doc_minhash": q_doc_minhash,
@@ -449,6 +497,37 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "tpch_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+                   count(*) AS n_items
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_topk_orders": """
+            SELECT o_orderkey,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+        """,
+        "emb_knn_join": f"""
+            WITH b AS (SELECT vec_id, embedding, {_SIGN_BUCKET.format(v="embedding")} AS bucket
+                       FROM embeddings),
+            q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b WHERE vec_id < 20),
+            j AS (SELECT q.q_id, c.vec_id,
+                         CAST(round(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+                              (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))) *
+                               sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6)
+                              AS DOUBLE) AS cosine
+                  FROM b c JOIN q ON c.bucket = q.bucket),
+            r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                  FROM j)
+            SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_id

@@ -238,6 +238,9 @@ class CdcPipeline:
             self._reject(unknown, "unknown routing target", epoch_key)
         for name, table in self.tables.items():
             part = mapped.filter(F.col("target") == name).drop("target") if has_target else mapped
+            # (Observation metrics would count winners during the merge's own
+            # write job, but Spark rejects observe() on foreachBatch-derived
+            # plans — count on the cache instead, materialized by the merge)
             winners = lww_winners(part).persist()
             try:
                 upserts = winners.filter(F.col("op") == OP_MUTATION).select(*KEY_COLS, *PAYLOAD_COLS)
@@ -246,7 +249,6 @@ class CdcPipeline:
                 merge_fn = table.merge_mor if self.merge_mode == "mor" else table.merge
                 res = merge_fn(upserts, deletes, epoch_id=ek, n_updates=n_upper)
                 if not res.get("skipped"):
-                    # cheap: winners was materialized into cache by the merge
                     total += winners.count()
                 if self.merge_mode == "mor" and self.compact_every:
                     self._epochs_since_compact += 1

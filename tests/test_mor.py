@@ -49,3 +49,29 @@ def test_cow_over_mor_deltas_autocompacts(spark, gen_result, log_info, tmp_path)
 def test_invalid_merge_mode_rejected(spark, tmp_path):
     with pytest.raises(ValueError):
         CdcPipeline(spark, str(tmp_path / "t"), merge_mode="magic")
+
+
+def test_mor_crash_between_delta_and_checkpoint(spark, gen_result, log_info, tmp_path, monkeypatch):
+    """Exactly-once under MOR: crash after the delta append commits but
+    before the HWM checkpoint; restart re-delivers the epoch; the delta
+    append is skipped by epoch-id and state converges."""
+    from go_dcp_kafka_spark.streaming.checkpoints import CheckpointStore
+
+    crashed = {"done": False}
+    orig = CheckpointStore.commit
+
+    def exploding(self, dirty, epoch_id):
+        if not crashed["done"] and str(epoch_id).endswith(":1"):
+            crashed["done"] = True
+            raise RuntimeError("injected crash after MOR delta, before checkpoint")
+        return orig(self, dirty, epoch_id)
+
+    monkeypatch.setattr(CheckpointStore, "commit", exploding)
+    pipe = CdcPipeline(spark, str(tmp_path / "t"), run_id="morx", merge_mode="mor")
+    with pytest.raises(Exception):
+        pipe.run_stream(log_info["dir"], str(tmp_path / "ck"), max_files_per_trigger=2)
+    assert crashed["done"]
+
+    pipe2 = CdcPipeline(spark, str(tmp_path / "t"), run_id="morx", merge_mode="mor")
+    pipe2.run_stream(log_info["dir"], str(tmp_path / "ck"), max_files_per_trigger=2)
+    assert_frames_equal(pipe2.read_table().toPandas(), fold_oracle(gen_result.events))
