@@ -319,6 +319,24 @@ def q_emb_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(_read(spark, sf_dir, "embeddings"), _qvec(spark, sf_dir), k=10)
 
 
+def q_media_features(spark, sf_dir):
+    """ROWS-ONLY: multimodal plumbing — binary media column -> Arrow-batched
+    mapInPandas feature extraction (deterministic fake kernel; real codecs
+    are not in this container). No SQL twin (Python kernel)."""
+    from go_dcp_kafka_spark.functions.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=128, seed=7)
+    return extract_features(media, use_fake=True).orderBy("media_id")
+
+
+def q_media_frames(spark, sf_dir):
+    """ROWS-ONLY: 1 video row -> N sampled frames via mapInPandas."""
+    from go_dcp_kafka_spark.functions.multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, n=96, seed=11)
+    return sample_frames(media, use_fake=True).orderBy("media_id", "frame_idx").drop("frame_bytes")
+
+
 def q_emb_near_dup(spark, sf_dir):
     from go_dcp_kafka_spark.functions.dedup_text import embedding_near_duplicates
 
@@ -357,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
     }
 
 
