@@ -325,7 +325,9 @@ def q_media_features(spark, sf_dir):
     are not in this container). No SQL twin (Python kernel)."""
     from go_dcp_kafka_spark.functions.multimodal import extract_features, synthetic_media
 
-    media = synthetic_media(spark, n=128, seed=7)
+    # coalesce: binary payloads want few large partitions — spawning a
+    # Python worker per tiny partition dominates at this row count
+    media = synthetic_media(spark, n=128, seed=7).coalesce(4)
     return extract_features(media, use_fake=True).orderBy("media_id")
 
 
