@@ -1,0 +1,96 @@
+"""Property-based equivalence: for ANY valid change stream (per-partition
+ascending seqnos with duplicate-range replays and rollbacks, keys confined
+to one partition), the distributed fold equals the sequential oracle.
+
+The structured generator (gen.py) covers realistic shapes; hypothesis covers
+adversarial interleavings it wouldn't produce."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from go_dcp_kafka_spark.gen import EPOCH_BASE, fold_oracle
+from go_dcp_kafka_spark.operators.fold import fold_change_events
+from go_dcp_kafka_spark.schema import CHANGE_EVENT_SCHEMA
+from tests.conftest import assert_frames_equal
+
+
+@st.composite
+def change_streams(draw):
+    """A small but adversarial stream: 2 partitions, a handful of keys per
+    partition, arbitrary op choices, optional duplicate-range replay and
+    rollback with diverged branch."""
+    rows = []
+    delivery = 0
+    for p in range(2):
+        n = draw(st.integers(3, 14))
+        keys = [(f"c{p}k{draw(st.integers(0, 3))}", draw(st.integers(0, 2))) for _ in range(n)]
+        ops = [draw(st.sampled_from(["mutation", "mutation", "deletion", "expiration"])) for _ in range(n)]
+        base = []
+        for i, ((conv, turn), op) in enumerate(zip(keys, ops)):
+            base.append(
+                dict(partition_id=p, seqno=i + 1, op=op, conv_id=conv, turn_idx=turn,
+                     rev_no=i, text=None if op != "mutation" else f"t{p}-{i}", rollback_point=None)
+            )
+        stream = list(base)
+        # duplicate-range replay (contiguous suffix re-delivery)
+        if draw(st.booleans()) and len(base) > 2:
+            start = draw(st.integers(0, len(base) - 2))
+            stream += [dict(r) for r in base[start:]]
+        # rollback: truncate to rb, re-emit diverged branch covering every
+        # key touched above rb
+        if draw(st.booleans()) and len(base) > 3:
+            rb = draw(st.integers(1, len(base) - 2))
+            touched = {}
+            for r in base:
+                if r["seqno"] > rb:
+                    touched[(r["conv_id"], r["turn_idx"])] = r
+            stream.append(dict(partition_id=p, seqno=rb, op="rollback", conv_id=None,
+                               turn_idx=None, rev_no=0, text=None, rollback_point=rb))
+            for j, r in enumerate(touched.values()):
+                nr = dict(r)
+                nr["seqno"] = rb + 1 + j
+                if nr["op"] == "mutation":
+                    nr["text"] = f"rb-{nr['conv_id']}-{nr['turn_idx']}"
+                nr["rollback_point"] = None
+                stream.append(nr)
+        for r in stream:
+            r["delivery_seq"] = delivery
+            delivery += 1
+        rows += stream
+    return rows
+
+
+def _to_pdf(rows):
+    df = pd.DataFrame(rows)
+    n = len(df)
+    df["partition_id"] = df["partition_id"].astype("int32")
+    df["seqno"] = df["seqno"].astype("int64")
+    df["delivery_seq"] = df["delivery_seq"].astype("int64")
+    df["turn_idx"] = df["turn_idx"].astype("Int32")
+    df["rev_no"] = df["rev_no"].astype("int64")
+    df["event_time"] = EPOCH_BASE + (np.arange(n) * 1000).astype("timedelta64[us]")
+    df["role"] = pd.array([None] * n, dtype=object)
+    df["tool"] = pd.array([None] * n, dtype=object)
+    # ts is PAYLOAD: derive from event identity, not delivery position — a
+    # duplicate re-delivery must carry the identical document
+    ident = (
+        df["partition_id"].astype("int64") * 1_000_000
+        + df["seqno"].astype("int64") * 1_000
+        + df["rev_no"].astype("int64")
+    )
+    df["ts"] = EPOCH_BASE + ident.to_numpy().astype("timedelta64[us]")
+    df["rollback_point"] = df["rollback_point"].astype("Int64")
+    cols = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
+    return df[cols]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(change_streams())
+def test_fold_equals_oracle_on_arbitrary_streams(spark, rows):
+    pdf = _to_pdf(rows)
+    expected = fold_oracle(pdf)
+    events = spark.createDataFrame(pdf, schema=CHANGE_EVENT_SCHEMA)
+    actual = fold_change_events(events).toPandas()
+    assert_frames_equal(actual, expected)
