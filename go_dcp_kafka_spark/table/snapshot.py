@@ -35,9 +35,12 @@ The bucket function includes ``turn_idx`` deliberately: hot conversations
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
+import threading
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +48,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MANIFEST = "_manifest.json"
+
+
+def _locked(fn):
+    """Run a table-mutating method under the writer lock."""
+
+    def wrapper(self, *args, **kwargs):
+        with self._write_lock():
+            return fn(self, *args, **kwargs)
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
 
 
 def _bucket_expr(key_cols: tuple[str, ...], num_buckets: int):
@@ -70,6 +85,28 @@ class SnapshotTable:
         self.num_buckets = num_buckets
         self._default_schema = schema
         os.makedirs(path, exist_ok=True)
+        self._tlock = threading.RLock()
+        self._lock_depth = 0
+
+    @contextmanager
+    def _write_lock(self):
+        """Serialize writers — multiple connector instances (membership,
+        SURVEY §2.5 T4) may merge into one table concurrently; the reference
+        gets this for free because its sink is a Kafka topic (the broker
+        serializes appends). flock across processes + RLock across threads;
+        re-entrant so merge -> auto-compact nests."""
+        with self._tlock:
+            self._lock_depth += 1
+            try:
+                if self._lock_depth == 1:
+                    self._lock_fd = open(os.path.join(self.path, "_manifest.lock"), "w")
+                    fcntl.flock(self._lock_fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                self._lock_depth -= 1
+                if self._lock_depth == 0:
+                    fcntl.flock(self._lock_fd, fcntl.LOCK_UN)
+                    self._lock_fd.close()
 
     # ---------------- manifest ----------------
     def _manifest_path(self) -> str:
@@ -171,6 +208,7 @@ class SnapshotTable:
         ).drop("_b")
 
     # ---------------- merge ----------------
+    @_locked
     def merge(
         self,
         upserts: DataFrame,
@@ -248,6 +286,7 @@ class SnapshotTable:
         finally:
             keys.unpersist()
 
+    @_locked
     def merge_mor(
         self,
         upserts: DataFrame,
@@ -284,6 +323,7 @@ class SnapshotTable:
         self._commit_manifest(m)
         return {"skipped": False, "epoch": epoch_id, "version": new_version, "mode": "mor"}
 
+    @_locked
     def compact(self) -> dict[str, Any]:
         """Fold outstanding deltas into the base (Iceberg rewrite/compaction).
         The resolved read is a key-grouped fold, so the rewrite is
@@ -309,6 +349,7 @@ class SnapshotTable:
         self._commit_manifest(m)
         return {"compacted": True, "version": new_version}
 
+    @_locked
     def overwrite(self, df: DataFrame, epoch_id: str = "overwrite-0", aligned: bool = False) -> dict[str, Any]:
         """Full-table replace (the batch-replay M1 path).
 
