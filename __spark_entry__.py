@@ -319,6 +319,14 @@ def q_emb_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(_read(spark, sf_dir, "embeddings"), _qvec(spark, sf_dir), k=10)
 
 
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF-pruned ANN: centroid cells from the first 16 vectors, search only
+    the query's cell (nprobe=1)."""
+    from go_dcp_kafka_spark.functions.similarity import ivf_topk
+
+    return ivf_topk(_read(spark, sf_dir, "embeddings"), _qvec(spark, sf_dir), k=10, n_centroids=16)
+
+
 def q_media_features(spark, sf_dir):
     """ROWS-ONLY: multimodal plumbing — binary media column -> Arrow-batched
     mapInPandas feature extraction (deterministic fake kernel; real codecs
@@ -377,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
     }
@@ -606,6 +615,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, CAST({_COS} AS DOUBLE) AS cosine
             FROM embeddings e, q
             WHERE {_SIGN_BUCKET.format(v="e.embedding")} = q.bucket
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "emb_ivf_topk": """
+            WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                       FROM embeddings WHERE vec_id < 16),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+            s AS (SELECT e.vec_id, c.cid,
+                         round(list_dot_product(ve, ce) /
+                               (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))), 6) AS cos
+                  FROM e CROSS JOIN c),
+            a AS (SELECT vec_id, cid AS cell FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) rn FROM s)
+                  WHERE rn = 1),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+            probe AS (SELECT cid FROM c, q
+                      ORDER BY round(list_dot_product(qe, ce) /
+                               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) DESC, cid
+                      LIMIT 1)
+            SELECT e.vec_id,
+                   CAST(round(list_dot_product(ve, qe) /
+                        (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))), 6) AS DOUBLE) AS cosine
+            FROM e JOIN a ON e.vec_id = a.vec_id CROSS JOIN q
+            WHERE a.cell IN (SELECT cid FROM probe)
             ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
         "emb_near_dup": f"""

@@ -96,6 +96,75 @@ def ann_lsh_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c_id: str = "cid",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """IVF cell assignment: each vector joins its argmax-cosine centroid.
+
+    Centroids are broadcast (K is small: O(sqrt(N)) at scale); the argmax is
+    a per-row window over K candidates — deterministic ties by smallest
+    centroid id. At 10^10 vectors this runs as one scan + broadcast join;
+    the resulting ``cell`` column becomes the table's partition key so
+    searches prune to nprobe cells on disk."""
+    from pyspark.sql import Window
+
+    j = embeddings.select(id_col, vec_col).crossJoin(
+        F.broadcast(centroids.select(c_id, c_vec))
+    )
+    scored = j.select(
+        id_col,
+        F.col(c_id),
+        F.round(cosine_expr(F.col(vec_col), F.col(c_vec)), 6).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.col(c_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col(c_id).alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: assign all vectors to cells (centroids = the first
+    ``n_centroids`` vectors by id — deterministic 'training'; real
+    deployments run k-means once and persist), find the query's nearest
+    ``nprobe`` cells, scan only those. The brief's 'IVF variant as the
+    scale path' next to sign-LSH."""
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_cells = [
+        r["cid"]
+        for r in cents.select(
+            "cid", F.round(cosine_expr(F.col("ce"), q), 6).alias("c")
+        )
+        .orderBy(F.desc("c"), F.col("cid"))
+        .limit(nprobe)
+        .collect()
+    ]
+    scored = (
+        embeddings.join(assigned, id_col)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
 def pairwise_topk_join(
     queries: DataFrame,
     corpus: DataFrame,
