@@ -182,6 +182,22 @@ def q_cdc_full_fold(spark, sf_dir):
     return fold_change_events(events).orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_salted_rollup(spark, sf_dir):
+    """Skew-proof per-key rollup via salt + two-phase aggregation
+    (operators/salting.py) — the hot-conv_id strategy exercised as a query.
+    Result is identical to a plain groupBy (the oracle)."""
+    from go_dcp_kafka_spark.operators.salting import two_phase_agg
+
+    ev = _read(spark, sf_dir, "events").withColumn("cents", _cents(F.col("value")))
+    return two_phase_agg(
+        ev,
+        "user_id",
+        {"n_events": ("event_id", "count"), "max_cents": ("cents", "max"), "total_cents": ("cents", "sum")},
+        salt_key="event_id",
+        buckets=8,
+    )
+
+
 # ===================================================== relational breadth
 def q_sort_topk(spark, sf_dir):
     """Top-k sort (TakeOrderedAndProject — no global sort shuffle)."""
@@ -371,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_explode": q_cdc_explode,
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_lineage": q_cdc_lineage,
+        "cdc_salted_rollup": q_cdc_salted_rollup,
         "cdc_full_fold": q_cdc_full_fold,
         "sort_topk": q_sort_topk,
         "join_agg": q_join_agg,
@@ -528,6 +545,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "cdc_salted_rollup": """
+            SELECT user_id, count(event_id) AS n_events,
+                   max(CAST(round(value * 100) AS BIGINT)) AS max_cents,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+            FROM events GROUP BY user_id
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,
