@@ -304,7 +304,9 @@ def q_doc_near_dup(spark, sf_dir):
     )
 
     docs = _read(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=4)
+    # localCheckpoint: the band self-join and jaccard verify would otherwise
+    # recompute the signature/shingle pipeline once per join side
+    sigs = minhash_signatures(docs, num_hashes=4).localCheckpoint(eager=False)
     bk = minhash_band_buckets(sigs, bands=2, rows_per_band=2)
     a = bk.select(F.col("doc_id").alias("a_id"), "band_id", "band_key")
     b = bk.select(F.col("doc_id").alias("b_id"), "band_id", "band_key")
