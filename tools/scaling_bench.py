@@ -161,8 +161,8 @@ ideal by the host itself — no job of any kind can evidence 0.8 efficiency at
 ## vs reference single-node throughput
 
 - batch merge-apply at local[32] (SPARK_GRAFT_CPUS default, separate bench
-  run): see BENCH_r*.json — ~240,000 events/s on 2.17M events
-  (~2.9x the reference's 83,400 events/s), and the workload is strictly
+  run): see BENCH_r*.json — 240,000-970,000 events/s on 2.17M events (varies with host weather; see BENCH_r*.json)
+  (2.9-11x the reference's 83,400 events/s), and the workload is strictly
   harder: the reference forwards opaque bytes to a log; this engine
   deduplicates, resolves LWW winners, normalizes text, and maintains
   exactly-once keyed-table state with lineage.
