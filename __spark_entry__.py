@@ -132,15 +132,17 @@ def q_cdc_merge_upsert(spark, sf_dir):
     """S3/A3: MERGE upsert — target state at T merged with updates after T;
     final = LWW per key (the foreachBatch merge, SnapshotTable.merge)."""
     ev = _read(spark, sf_dir, "events")
-    t_split = ev.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
+    # split point as a broadcast scalar subquery — no driver round-trip
+    split = ev.agg((F.max("event_id") / 2).cast("long").alias("t_split"))
+    ev = ev.join(F.broadcast(split))
     target = (
-        ev.filter(F.col("event_id") <= t_split)
+        ev.filter(F.col("event_id") <= F.col("t_split"))
         .groupBy("user_id")
         .agg(F.max_by(_cents(F.col("value")), F.col("event_id")).alias("cents"),
              F.max("event_id").alias("version"))
     )
     updates = (
-        ev.filter(F.col("event_id") > t_split)
+        ev.filter(F.col("event_id") > F.col("t_split"))
         .groupBy("user_id")
         .agg(F.max_by(_cents(F.col("value")), F.col("event_id")).alias("cents"),
              F.max("event_id").alias("version"))
@@ -167,18 +169,17 @@ def q_cdc_lineage(spark, sf_dir):
 
 
 def q_cdc_full_fold(spark, sf_dir):
-    """ROWS-ONLY: the flagship — full CDC fold of the engine's own synthetic
-    change log (duplicates + rollback + schema evolution + hot keys) into
-    final transcript state. Input is generated, not a DuckDB view, so no SQL
-    twin; correctness is pinned by tests/test_fold.py against the
-    sequential oracle."""
-    from go_dcp_kafka_spark.gen import GenConfig, generate_change_events
+    """The flagship — full CDC fold of the engine's own synthetic change log
+    (duplicates + rollback + hot keys) into final transcript state. The log
+    is materialized once as a deterministic parquet fixture, so the DuckDB
+    twin folds the identical input (rollback anti-join + LWW window);
+    tests/test_fold.py additionally pins it to the sequential oracle."""
+    from go_dcp_kafka_spark.gen import materialize_flagship_log
     from go_dcp_kafka_spark.operators.fold import fold_change_events
     from go_dcp_kafka_spark.schema import CHANGE_EVENT_SCHEMA
 
-    res = generate_change_events(GenConfig(seed=42, n_convs=400, n_hot_convs=4, hot_turns=200, n_partitions=32))
-    pdf = res.events
-    events = spark.createDataFrame(pdf, schema=CHANGE_EVENT_SCHEMA)
+    path = materialize_flagship_log()
+    events = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(path)
     return fold_change_events(events).orderBy("conv_id", "turn_idx")
 
 
@@ -446,6 +447,11 @@ _SIGN_BUCKET = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from go_dcp_kafka_spark.gen import materialize_flagship_log
+
+    # materialize the flagship fixture NOW so the oracle can read it even if
+    # the driver runs the SQL before (or without) the Spark query
+    flagship_path = materialize_flagship_log()
     fingerprint_sh = _shingles("text", 8)
     prof_words = _words("text")
     stop_list = ", ".join(f"'{s}'" for s in _STOP)
@@ -496,7 +502,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_count_by_op": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM events GROUP BY event_type
         """,
         "cdc_offsets": """
@@ -532,10 +538,28 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lineage": """
             SELECT user_id % 8 AS partition_id,
                    min(event_id) AS first_seqno, max(event_id) AS last_seqno,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   sum(CASE WHEN event_type NOT IN ('purchase', 'error') THEN 1 ELSE 0 END) AS n_other
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type NOT IN ('purchase', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
             FROM events GROUP BY user_id % 8
+        """,
+        "cdc_full_fold": f"""
+            WITH ev AS (SELECT * FROM read_parquet('{flagship_path}')),
+            m AS (SELECT partition_id AS rb_partition_id, rollback_point AS rb_point,
+                         delivery_seq AS rb_delivery
+                  FROM ev WHERE op = 'rollback'),
+            live AS (
+                SELECT e.* FROM ev e
+                WHERE e.op <> 'rollback'
+                  AND NOT EXISTS (SELECT 1 FROM m
+                                  WHERE m.rb_partition_id = e.partition_id
+                                    AND e.seqno > m.rb_point
+                                    AND e.delivery_seq < m.rb_delivery)),
+            w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                               ORDER BY seqno DESC, delivery_seq DESC) AS rn
+                  FROM live)
+            SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op = 'mutation'
         """,
         "sort_topk": """
             SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
@@ -543,7 +567,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_agg": """
             SELECT n_name, count(*) AS n_orders,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
@@ -551,20 +575,20 @@ def oracle_sql() -> dict[str, str]:
         "cdc_salted_rollup": """
             SELECT user_id, count(event_id) AS n_events,
                    max(CAST(round(value * 100) AS BIGINT)) AS max_cents,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM events GROUP BY user_id
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    count(*) AS n_items
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
         "tpch_topk_orders": """
             SELECT o_orderkey,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             WHERE c_mktsegment = 'BUILDING'

@@ -297,6 +297,31 @@ def write_change_log(
     return {"paths": paths, "evolution_boundary": boundary}
 
 
+#: The flagship fixture used by __spark_entry__ (queries + oracle twin).
+FLAGSHIP_CONFIG = dict(seed=42, n_convs=400, n_hot_convs=4, hot_turns=200, n_partitions=32)
+
+
+def materialize_flagship_log(path: str | None = None) -> str:
+    """Write the deterministic flagship change log as ONE parquet file and
+    return its path. Idempotent + atomic (tmp file, os.replace), so both the
+    Spark query and the DuckDB oracle — in either order, even in different
+    processes — see the identical fixture. Avoids driver-side
+    createDataFrame entirely (round-1 lesson: pandas nullable Int32 degrades
+    to float64 under a non-Arrow session and IntegerType rejects it)."""
+    import tempfile
+
+    if path is None:
+        tag = "_".join(f"{k}{v}" for k, v in sorted(FLAGSHIP_CONFIG.items()))
+        path = os.path.join(tempfile.gettempdir(), f"gdks_flagship_log_{tag}.parquet")
+    if os.path.exists(path):
+        return path
+    res = generate_change_events(GenConfig(**FLAGSHIP_CONFIG))
+    tmp = f"{path}.tmp.{os.getpid()}"
+    res.events.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
+
+
 def fold_oracle(events: pd.DataFrame) -> pd.DataFrame:
     """Sequential reference fold: the semantics the distributed engine must
     reproduce exactly. Applies events in delivery order with per-partition

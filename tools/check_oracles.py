@@ -20,17 +20,24 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Strict mimic of the driver's hash: no int/decimal coercion. A DuckDB
+    # HUGEINT landing as float64 vs Spark's int64 MUST fail here, because it
+    # fails the driver's value hash (round-1 lesson: sum(BIGINT) -> HUGEINT).
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(6)
-        elif "int" in str(df[c].dtype).lower():
-            df[c] = df[c].astype("int64")
-        elif "decimal" in str(df[c].dtype).lower():
-            df[c] = df[c].astype(float).round(6)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def dtype_kind(s: pd.Series) -> str:
+    k = str(s.dtype).lower()
+    for fam in ("int", "float", "bool", "datetime"):
+        if fam in k:
+            return fam
+    return "object"
 
 
 def main() -> int:
@@ -74,6 +81,13 @@ def main() -> int:
             continue
         if len(a) != len(b):
             print(f"✗ {name}: rows {len(a)} vs {len(b)}")
+            failed.append(name)
+            continue
+        kinds_a = {c: dtype_kind(a[c]) for c in a.columns}
+        kinds_b = {c: dtype_kind(b[c]) for c in b.columns}
+        if kinds_a != kinds_b:
+            diff = {c: (kinds_a[c], kinds_b[c]) for c in a.columns if kinds_a[c] != kinds_b[c]}
+            print(f"✗ {name}: dtype kinds differ (spark, duckdb): {diff}")
             failed.append(name)
             continue
         ok = True
