@@ -347,23 +347,35 @@ def q_emb_ivf_topk(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """ROWS-ONLY: multimodal plumbing — binary media column -> Arrow-batched
-    mapInPandas feature extraction (deterministic fake kernel; real codecs
-    are not in this container). No SQL twin (Python kernel)."""
-    from go_dcp_kafka_spark.functions.multimodal import extract_features, synthetic_media
+    """Multimodal plumbing — binary media column (utf-8 bytes of document
+    text) -> Arrow-batched mapInPandas feature extraction. The deterministic
+    fake kernel (real codecs are not in this container) emits md5-derived
+    scalar features, so a DuckDB twin reproduces every column from the
+    source text."""
+    from go_dcp_kafka_spark.functions.multimodal import extract_features_scalar, media_from_documents
 
     # coalesce: binary payloads want few large partitions — spawning a
     # Python worker per tiny partition dominates at this row count
-    media = synthetic_media(spark, n=128, seed=7).coalesce(4)
-    return extract_features(media, use_fake=True).orderBy("media_id")
+    media = media_from_documents(_read(spark, sf_dir, "documents")).coalesce(4)
+    return extract_features_scalar(media, use_fake=True).orderBy("media_id")
 
 
 def q_media_frames(spark, sf_dir):
-    """ROWS-ONLY: 1 video row -> N sampled frames via mapInPandas."""
-    from go_dcp_kafka_spark.functions.multimodal import sample_frames, synthetic_media
+    """1 video row -> N sampled frames via mapInPandas; the query emits
+    frame byte-lengths (JVM-side octet_length over the kernel output) so the
+    oracle can recompute them from the text byte count."""
+    from go_dcp_kafka_spark.functions.multimodal import media_from_documents, sample_frames
 
-    media = synthetic_media(spark, n=96, seed=11)
-    return sample_frames(media, use_fake=True).orderBy("media_id", "frame_idx").drop("frame_bytes")
+    media = media_from_documents(_read(spark, sf_dir, "documents")).coalesce(4)
+    return (
+        sample_frames(media, use_fake=True)
+        .select(
+            "media_id",
+            "frame_idx",
+            F.octet_length("frame_bytes").cast("long").alias("n_frame_bytes"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
 
 
 def q_emb_near_dup(spark, sf_dir):
@@ -688,6 +700,24 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN a ON e.vec_id = a.vec_id CROSS JOIN q
             WHERE a.cell IN (SELECT cid FROM probe)
             ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "media_features": f"""
+            SELECT doc_id AS media_id,
+                   ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   {", ".join(
+                       f"round(CAST(CONCAT('0x', substr(md5(text), {2 * j + 1}, 2)) AS INTEGER) / 255.0, 6) AS f{j}"
+                       for j in range(8)
+                   )}
+            FROM documents
+        """,
+        "media_frames": """
+            WITH v AS (SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS nb
+                       FROM documents WHERE doc_id % 3 = 2),
+            f AS (SELECT media_id, nb, unnest(range(least(4, greatest(1, nb // 256)))) AS fi FROM v)
+            SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+                   CAST(least(256, nb - fi * 256) AS BIGINT) AS n_frame_bytes
+            FROM f
         """,
         "emb_near_dup": f"""
             WITH b AS (SELECT vec_id, embedding, {_SIGN_BUCKET.format(v="embedding")} AS bucket

@@ -53,6 +53,41 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
+#: Oracle-checkable feature row: scalar columns only (an array<float> column
+#: is unsortable by the driver's row canonicalizer — round-1 lesson).
+FEATURE_SCALAR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        *[T.StructField(f"f{j}", T.DoubleType(), True) for j in range(8)],
+    ]
+)
+
+_KINDS = ("image", "audio", "video")
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table derived from the documents corpus: payload = utf-8 bytes
+    of the text (a stand-in blob whose byte content an SQL oracle can reason
+    about), kind cycled by doc_id. Pure projection — no UDF, no shuffle."""
+    from pyspark.sql import functions as F
+
+    kind = F.element_at(F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    mime = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        mime.alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for plumbing tests."""
@@ -109,6 +144,34 @@ def extract_features(media: DataFrame, use_fake: bool = False, batch_hint: int =
             )
 
     return media.select("media_id", "payload").mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def extract_features_scalar(media: DataFrame, use_fake: bool = False) -> DataFrame:
+    """Oracle-checkable variant of ``extract_features``: the fake encoder
+    emits 8 md5-digest-derived scalar floats (digest byte j / 255, 6 dp) plus
+    the byte count — every column reproducible in ANSI SQL over the source
+    text, and every column sortable. Same mapInPandas plumbing as the array
+    variant (Arrow batches, payload never collected)."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not use_fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/librosa/ffmpeg; "
+                    "pass use_fake=True for the deterministic test kernel"
+                )
+            digests = b["payload"].map(lambda x: hashlib.md5(x).digest() if x is not None else None)
+            out = {
+                "media_id": b["media_id"],
+                "kind": b["kind"],
+                "n_bytes": b["payload"].map(lambda x: 0 if x is None else len(x)).astype("int64"),
+            }
+            for j in range(8):
+                out[f"f{j}"] = digests.map(lambda d, j=j: None if d is None else round(d[j] / 255.0, 6))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(fn, FEATURE_SCALAR_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 4, use_fake: bool = False) -> DataFrame:

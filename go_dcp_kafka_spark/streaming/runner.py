@@ -301,17 +301,21 @@ class CdcPipeline:
         """Finite/backfill mode (dcp_event_handler.go:29-34): fold the whole
         log in one shot and overwrite the table — fastest cold-start path
         (one shuffle, no per-epoch overhead)."""
-        from go_dcp_kafka_spark.operators.fold import fold_change_events
-
         events = read_change_log(self.spark, source_dir)
-        final = fold_change_events(events)
+        markers = extract_rollback_markers(events)
+        live = apply_rollbacks(events, markers)
+        winners = lww_winners(live)
+        final = winners.filter(F.col("op") == OP_MUTATION).select(*KEY_COLS, *PAYLOAD_COLS)
         table = self.tables[DEFAULT_TARGET]
         # the fold output is hash-partitioned by key: bucket-aligned write
         table.overwrite(final, epoch_id=epoch_id, aligned=True)
-        # checkpoint = max seqno per partition over the whole log
+        # checkpoint = max seqno per partition over ROLLBACK-SURVIVING events
+        # only (truncate-then-advance, matching the sequential oracle). Using
+        # the raw max would exceed the replayed branch's re-sequenced max and
+        # make a resuming stream silently drop legitimate post-rollback
+        # events with seqno in (new_branch_max, old_branch_max] as dupes.
         hwm = (
-            events.filter(F.col("op") != OP_ROLLBACK)
-            .groupBy("partition_id")
+            live.groupBy("partition_id")
             .agg(F.max("seqno").alias("hwm_seqno"))
             .toPandas()
         )

@@ -71,3 +71,35 @@ def test_topk_uses_take_ordered(spark):
     o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     q = o.orderBy(F.desc("o_totalprice")).limit(5)
     assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_ivf_assign_is_shuffle_free(spark):
+    """IVF cell assignment must be a pure projection over the corpus scan:
+    no Window, no hashpartitioning Exchange; the only exchanges allowed are
+    on the K-row centroid side (SinglePartition + Broadcast)."""
+    from go_dcp_kafka_spark.functions.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    plan = _plan(ivf_assign(emb, cents))
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row centroid-array join
+    # argmax fold picks the same cells the old crossJoin+window picked
+    from pyspark.sql import Window
+
+    j = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+    from go_dcp_kafka_spark.functions.similarity import cosine_expr
+
+    scored = j.select(
+        "vec_id", "cid", F.round(cosine_expr(F.col("embedding"), F.col("ce")), 6).alias("c")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.col("cid"))
+    ref = {
+        r["vec_id"]: r["cid"]
+        for r in scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+    got = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
+    assert got == ref

@@ -118,3 +118,45 @@ def test_batch_replay_equals_streaming(spark, stream_case, tmp_path):
     pipe.run_batch_replay(stream_case["dir"])
     actual = pipe.read_table().toPandas()
     assert_frames_equal(actual, stream_case["expected"])
+
+
+def test_batch_replay_hwm_survives_rollback_handoff(spark, stream_case, tmp_path):
+    """The backfill->stream handoff: run_batch_replay's committed HWM must be
+    the max ROLLBACK-SURVIVING seqno, not the raw max (which includes rolled-
+    back old-branch seqnos). A stream resuming from that checkpoint must then
+    apply a legitimate post-rollback event with seqno in
+    (new_branch_max, old_branch_max] instead of dropping it as a duplicate."""
+    from pyspark.sql import functions as F
+
+    from go_dcp_kafka_spark.schema import CHANGE_EVENT_SCHEMA
+
+    res = stream_case["res"]
+    rbp, rb_point = res.rollback_partition, res.rollback_point
+    assert rbp >= 0, "fixture must contain a rollback"
+    ev = res.events
+    data = ev[ev["op"] != "rollback"]
+    rb_delivery = int(ev[ev["op"] == "rollback"]["delivery_seq"].iloc[0])
+    vict = data[data["partition_id"] == rbp]
+    surviving = vict[~((vict["seqno"] > rb_point) & (vict["delivery_seq"] < rb_delivery))]
+    new_max, old_max = int(surviving["seqno"].max()), int(vict["seqno"].max())
+    assert new_max < old_max, "fixture must have rolled-back seqnos above the new branch"
+
+    pipe = _fresh_pipeline(spark, tmp_path)
+    pipe.run_batch_replay(stream_case["dir"])
+    assert pipe.checkpoints.hwm_map()[rbp] == new_max
+
+    # post-rollback tail event in the contested seqno range must be applied
+    tail_seq = new_max + 1
+    assert tail_seq <= old_max
+    tail = spark.createDataFrame(
+        [
+            (
+                rbp, tail_seq, int(ev["delivery_seq"].max()) + 1, "mutation",
+                "conv-handoff", 0, 1, None, "user", "post-rollback tail", None, None, None,
+            )
+        ],
+        schema=CHANGE_EVENT_SCHEMA,
+    )
+    pipe.apply_batch(tail, 1)
+    got = pipe.read_table().filter(F.col("conv_id") == "conv-handoff").collect()
+    assert len(got) == 1 and got[0]["text"] == "post-rollback tail"
