@@ -28,7 +28,8 @@ from go_dcp_kafka_spark.functions.hashing import MINHASH_PRIME, perm_params  # n
 
 # ----------------------------------------------------------------- helpers
 P = MINHASH_PRIME
-PERMS = perm_params(4)  # deterministic (a, b) pairs shared with oracle SQL
+PERMS = perm_params(16)  # deterministic (a, b) pairs shared with oracle SQL
+NEAR_DUP_HASHES, NEAR_DUP_BANDS, NEAR_DUP_CAP = 16, 4, 64
 
 _WS = r"[^\s]+"
 _BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -296,26 +297,20 @@ def q_doc_simhash(spark, sf_dir):
 
 
 def q_doc_near_dup(spark, sf_dir):
-    """MinHash-LSH candidates (2 bands x 2 rows) verified by exact 3-gram
-    Jaccard >= 0.8 — the full near-dup pipeline."""
+    """MinHash-LSH candidates (16 hashes, 4 bands x 4 rows, bucket width
+    capped at 64) verified by exact 3-gram Jaccard >= 0.8 — the full
+    near-dup pipeline at its scale parameterization."""
     from go_dcp_kafka_spark.functions.dedup_text import (
         jaccard_verify_pairs,
-        minhash_band_buckets,
-        minhash_signatures,
+        minhash_near_duplicates,
     )
 
     docs = _read(spark, sf_dir, "documents")
-    # localCheckpoint: the band self-join and jaccard verify would otherwise
-    # recompute the signature/shingle pipeline once per join side
-    sigs = minhash_signatures(docs, num_hashes=4).localCheckpoint(eager=False)
-    bk = minhash_band_buckets(sigs, bands=2, rows_per_band=2)
-    a = bk.select(F.col("doc_id").alias("a_id"), "band_id", "band_key")
-    b = bk.select(F.col("doc_id").alias("b_id"), "band_id", "band_key")
-    pairs = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    pairs = minhash_near_duplicates(
+        docs,
+        num_hashes=NEAR_DUP_HASHES,
+        bands=NEAR_DUP_BANDS,
+        max_bucket_width=NEAR_DUP_CAP,
     )
     return jaccard_verify_pairs(docs, pairs, threshold=0.8)
 
@@ -493,8 +488,16 @@ def oracle_sql() -> dict[str, str]:
     )
     simhash_bits = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16))
     sig_cols = ", ".join(f"{_minhash_sql(i)} AS mh_{i}" for i in range(4))
-    band_key = lambda b: _H60.format(  # noqa: E731
-        x=f"CONCAT(CAST(mh_{2 * b} AS VARCHAR), '_', CAST(mh_{2 * b + 1} AS VARCHAR))"
+    sig_cols16 = ", ".join(f"{_minhash_sql(i)} AS mh_{i}" for i in range(NEAR_DUP_HASHES))
+    nd_rows = NEAR_DUP_HASHES // NEAR_DUP_BANDS
+
+    def band_key16(b: int) -> str:
+        concat = ", '_', ".join(f"CAST(mh_{b * nd_rows + r} AS VARCHAR)" for r in range(nd_rows))
+        return _H60.format(x=f"CONCAT({concat})")
+
+    nd_buckets = "\n                UNION ALL\n                ".join(
+        f"SELECT doc_id, {b} AS band_id, {band_key16(b)} AS band_key FROM sig"
+        for b in range(NEAR_DUP_BANDS)
     )
     jacc_sh = _shingles("text", 3)
 
@@ -648,14 +651,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_near_dup": f"""
             WITH s AS (SELECT doc_id, {_shingles("text", 3)} AS sh FROM documents),
-            sig AS (SELECT doc_id, {sig_cols} FROM s),
+            sig AS (SELECT doc_id, {sig_cols16} FROM s),
             bk AS (
-                SELECT doc_id, 0 AS band_id, {band_key(0)} AS band_key FROM sig
-                UNION ALL
-                SELECT doc_id, 1 AS band_id, {band_key(1)} AS band_key FROM sig),
+                {nd_buckets}),
+            keep AS (SELECT band_id, band_key FROM bk
+                     GROUP BY band_id, band_key HAVING count(*) <= {NEAR_DUP_CAP}),
+            bk2 AS (SELECT bk.* FROM bk JOIN keep USING (band_id, band_key)),
             pairs AS (
                 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                FROM bk a JOIN bk b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                FROM bk2 a JOIN bk2 b ON a.band_id = b.band_id AND a.band_key = b.band_key
                 WHERE a.doc_id < b.doc_id),
             sd AS (SELECT doc_id, list_distinct({jacc_sh}) AS sh FROM documents)
             SELECT p.a_id, p.b_id,

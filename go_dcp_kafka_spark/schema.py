@@ -84,16 +84,24 @@ LINEAGE_SCHEMA = T.StructType(
 
 #: Dead-letter row — mirrors ``RejectionLog{Topic, Value, Error, Key}``
 #: (/root/reference/kafka/rejection_log_sink_response_handler.go:82-87).
+#: ``error_class`` mirrors the reference's per-message error-type dispatch
+#: (producer_batch.go:146-185 classifies MessageTooLargeError separately
+#: from generic write errors): validation | routing | oversize.
 REJECTION_SCHEMA = T.StructType(
     [
         T.StructField("target", T.StringType(), True),
         T.StructField("conv_id", T.StringType(), True),
         T.StructField("turn_idx", T.IntegerType(), True),
         T.StructField("error", T.StringType(), False),
+        T.StructField("error_class", T.StringType(), False),
         T.StructField("value", T.StringType(), True),
         T.StructField("commit_epoch_key", T.StringType(), False),
     ]
 )
+
+REJECT_VALIDATION = "validation"
+REJECT_ROUTING = "routing"
+REJECT_OVERSIZE = "oversize"
 
 #: Key columns of the transcripts table (the MERGE ON clause).
 KEY_COLS = ("conv_id", "turn_idx")

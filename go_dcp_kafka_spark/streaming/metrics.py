@@ -1,0 +1,94 @@
+"""Live metrics surface — the reference's Prometheus collector re-imagined.
+
+The reference exposes gauges while the connector runs
+(/root/reference/metric/collector.go:38-56: ``kafka_connector_latency_ms``,
+``batch_produce_latency_ms``; README.md:136-142 lists them as the API). Ours
+are a process-local registry updated from two directions:
+
+- a ``StreamingQueryListener`` (``ConnectorQueryListener``) fed by Spark's
+  own per-micro-batch progress events — trigger latency, input rows,
+  rows/sec, and source backlog (lag);
+- the pipeline itself (``CdcPipeline.apply_batch``) publishing the merge
+  ("produce") latency it measures around the durable table write.
+
+Gauge names mirror the reference's (``*_latency_ms_current``). Post-hoc
+history remains in the lineage table (``batch_latency_ms`` per epoch); the
+registry is the LIVE view a user polls while the stream runs.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+#: Gauge names, mirroring /root/reference/metric/collector.go:38-56.
+CONNECTOR_LATENCY_MS = "kafka_connector_latency_ms_current"
+BATCH_PRODUCE_LATENCY_MS = "batch_produce_latency_ms_current"
+INPUT_ROWS = "connector_input_rows_current"
+ROWS_PER_SEC = "connector_processed_rows_per_second_current"
+LAG_BATCHES = "connector_lag_batches_current"
+
+
+class MetricsRegistry:
+    """Thread-safe gauge registry (listener callbacks arrive on a JVM
+    callback thread while the driver thread reads)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._gauges: dict[str, float] = {}
+
+    def set(self, name: str, value: float) -> None:
+        with self._lock:
+            self._gauges[name] = value
+
+    def get(self, name: str, default: float | None = None) -> float | None:
+        with self._lock:
+            return self._gauges.get(name, default)
+
+    def snapshot(self) -> dict[str, float]:
+        with self._lock:
+            return dict(self._gauges)
+
+
+class ConnectorQueryListener(StreamingQueryListener):
+    """Publishes live per-micro-batch gauges from Spark's progress events.
+
+    Attach with ``spark.streams.addListener(listener)``; scope to one
+    pipeline's queries via ``name_prefix`` (CdcPipeline names its queries
+    ``cdc-{run_id}``). Detach with ``spark.streams.removeListener``.
+    """
+
+    def __init__(self, registry: MetricsRegistry, name_prefix: str = "cdc-") -> None:
+        self.registry = registry
+        self.name_prefix = name_prefix
+
+    # -- StreamingQueryListener interface ---------------------------------
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = json.loads(event.progress.json)
+        if not (p.get("name") or "").startswith(self.name_prefix):
+            return
+        dur = p.get("durationMs", {})
+        if "triggerExecution" in dur:
+            self.registry.set(CONNECTOR_LATENCY_MS, float(dur["triggerExecution"]))
+        self.registry.set(INPUT_ROWS, float(p.get("numInputRows", 0)))
+        if p.get("processedRowsPerSecond") is not None:
+            self.registry.set(ROWS_PER_SEC, float(p["processedRowsPerSecond"]))
+        # lag: unconsumed backlog reported by the (file/kafka) source
+        lag = 0.0
+        for src in p.get("sources", []):
+            m = src.get("metrics") or {}
+            for k in ("numFilesOutstanding", "numBytesOutstanding"):
+                if k in m:
+                    lag += float(m[k])
+        self.registry.set(LAG_BATCHES, lag)
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass

@@ -38,6 +38,9 @@ from go_dcp_kafka_spark.schema import (
     OP_MUTATION,
     OP_ROLLBACK,
     PAYLOAD_COLS,
+    REJECT_OVERSIZE,
+    REJECT_ROUTING,
+    REJECT_VALIDATION,
     TRANSCRIPT_SCHEMA,
 )
 from go_dcp_kafka_spark.sources.changelog import read_change_log, stream_change_log
@@ -73,6 +76,8 @@ class CdcPipeline:
         strict_routing: bool = False,
         merge_mode: str = "cow",
         compact_every: int | None = None,
+        max_message_bytes: int | None = None,
+        metrics=None,
     ) -> None:
         """``merge_mode``: 'cow' rewrites touched buckets per epoch (read-
         optimized); 'mor' appends versioned deltas per epoch (write-optimized
@@ -96,6 +101,12 @@ class CdcPipeline:
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         self.merge_mode = merge_mode
         self.compact_every = compact_every
+        #: MessageTooLargeError analog (producer_batch.go:146-185): rows whose
+        #: text exceeds this byte size dead-letter with error_class='oversize'
+        #: instead of poisoning the merge.
+        self.max_message_bytes = max_message_bytes
+        #: optional MetricsRegistry (streaming.metrics) for live gauges
+        self.metrics = metrics
         self._epochs_since_compact = 0
         self.last_stats: dict = {}
         #: completionHandler analog (connector.go:309-312): called with the
@@ -185,8 +196,17 @@ class CdcPipeline:
             mapped = self.mapper(fresh) if self.mapper is not None else fresh
             if self.validate is not None:
                 invalid = mapped.filter(~F.coalesce(self.validate, F.lit(False)))
-                self._reject(invalid, "validation failed", epoch_id)
+                self._reject(invalid, "validation failed", epoch_id, REJECT_VALIDATION)
                 mapped = mapped.filter(F.coalesce(self.validate, F.lit(False)))
+            if self.max_message_bytes is not None:
+                too_big = F.octet_length(F.coalesce(F.col("text"), F.lit(""))) > self.max_message_bytes
+                self._reject(
+                    mapped.filter(too_big),
+                    f"message too large (> {self.max_message_bytes} bytes)",
+                    epoch_id,
+                    REJECT_OVERSIZE,
+                )
+                mapped = mapped.filter(~too_big)
 
             # ---- route (P4) + LWW + MERGE (S3) ----------------------------
             # upper bound on update keys (pre-LWW fresh count) — drives the
@@ -194,7 +214,12 @@ class CdcPipeline:
             n_upper = int(
                 stats_pd[["n_mutations", "n_deletions", "n_expirations"]].sum().sum()
             )
+            t_merge = time.time()
             n_merged = self._merge_routed(mapped, epoch_key, n_upper)
+            if self.metrics is not None:
+                from go_dcp_kafka_spark.streaming.metrics import BATCH_PRODUCE_LATENCY_MS
+
+                self.metrics.set(BATCH_PRODUCE_LATENCY_MS, (time.time() - t_merge) * 1000.0)
 
             # ---- checkpoint commit, strictly after the durable merge ------
             if epoch_key not in self.checkpoints.committed_epochs():
@@ -235,7 +260,7 @@ class CdcPipeline:
             unknown = mapped.filter(~F.col("target").isin(list(self.tables)))
             if self.strict_routing and not unknown.isEmpty():
                 raise ValueError("routing target with no configured table (reference panics here)")
-            self._reject(unknown, "unknown routing target", epoch_key)
+            self._reject(unknown, "unknown routing target", epoch_key, REJECT_ROUTING)
         for name, table in self.tables.items():
             part = mapped.filter(F.col("target") == name).drop("target") if has_target else mapped
             # (Observation metrics would count winners during the merge's own
@@ -259,7 +284,7 @@ class CdcPipeline:
                 winners.unpersist()
         return total
 
-    def _reject(self, rows: DataFrame, error: str, epoch_id) -> None:
+    def _reject(self, rows: DataFrame, error: str, epoch_id, error_class: str = REJECT_VALIDATION) -> None:
         if rows.isEmpty():
             return
         (
@@ -268,6 +293,7 @@ class CdcPipeline:
                 F.col("conv_id"),
                 F.col("turn_idx"),
                 F.lit(error).alias("error"),
+                F.lit(error_class).alias("error_class"),
                 F.to_json(F.struct(*[F.col(c) for c in PAYLOAD_COLS])).alias("value"),
                 F.lit(str(epoch_id)).alias("commit_epoch_key"),
             ).write.mode("append").parquet(self.rejections_dir)

@@ -82,6 +82,36 @@ def test_embedding_near_duplicates(spark, embs):
     assert (nd["a_id"] < nd["b_id"]).all()
 
 
+def test_auto_lsh_scale_params():
+    from go_dcp_kafka_spark.functions.dedup_text import auto_lsh_params, auto_sign_dims
+
+    # sign width grows with corpus size so buckets stay bounded
+    assert auto_sign_dims(1_000) == 8
+    assert auto_sign_dims(10**10) >= 20
+    # expected population at the derived width stays near the target
+    n = 10**10
+    assert n / 2 ** auto_sign_dims(n) <= 4096
+    b, r = auto_lsh_params(10**9)
+    assert b >= 2 and r > auto_lsh_params(10**3)[1]
+
+
+def test_band_bucket_cap(spark, docs):
+    """A pathological wide bucket (here: forced via constant text) must be
+    excluded from the candidate join by cap_band_buckets."""
+    from go_dcp_kafka_spark.functions.dedup_text import cap_band_buckets, minhash_band_buckets
+
+    same = docs.limit(80).withColumn("text", F.lit("identical boilerplate text"))
+    bk = minhash_band_buckets(minhash_signatures(same, num_hashes=16), bands=4, rows_per_band=4)
+    capped = cap_band_buckets(bk, max_bucket_width=64)
+    assert capped.count() == 0  # all 80 docs share every band bucket -> dropped
+    # and no candidate pairs escape
+    pairs = minhash_near_duplicates(same, num_hashes=16, bands=4, max_bucket_width=64)
+    assert pairs.count() == 0
+    # with the cap lifted the same corpus floods quadratically
+    flood = minhash_near_duplicates(same, num_hashes=16, bands=4, max_bucket_width=None)
+    assert flood.count() == 80 * 79 // 2
+
+
 def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, n=30)
     feats = extract_features(media, use_fake=True).toPandas()

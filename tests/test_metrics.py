@@ -1,0 +1,71 @@
+"""Live metrics surface + per-class dead-letter dispatch.
+
+Mirrors the reference's observable API: Prometheus gauges published while
+the connector runs (/root/reference/metric/collector.go:38-56) and
+per-message sink error classification (producer_batch.go:146-185 —
+MessageTooLargeError handled separately from generic write errors).
+"""
+
+import glob
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from go_dcp_kafka_spark.streaming.metrics import (
+    BATCH_PRODUCE_LATENCY_MS,
+    CONNECTOR_LATENCY_MS,
+    INPUT_ROWS,
+    ConnectorQueryListener,
+    MetricsRegistry,
+)
+from go_dcp_kafka_spark.streaming.runner import CdcPipeline
+
+
+def test_live_gauges_during_streamed_replay(spark, log_dir, tmp_path):
+    reg = MetricsRegistry()
+    listener = ConnectorQueryListener(reg, name_prefix="cdc-gauges")
+    spark.streams.addListener(listener)
+    try:
+        pipe = CdcPipeline(spark, str(tmp_path / "t"), run_id="gauges", metrics=reg)
+        pipe.run_stream(log_dir, str(tmp_path / "ck"), max_files_per_trigger=4)
+        # listener callbacks are asynchronous; give in-flight events a moment
+        deadline = time.time() + 10
+        while reg.get(CONNECTOR_LATENCY_MS) is None and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    snap = reg.snapshot()
+    # pipeline-published gauge: durable merge ("produce") latency
+    assert snap[BATCH_PRODUCE_LATENCY_MS] > 0
+    # listener-published gauges: per-micro-batch trigger latency + input rows
+    assert snap[CONNECTOR_LATENCY_MS] > 0
+    assert snap[INPUT_ROWS] >= 0
+    # the live view is consistent with the post-hoc lineage mirror
+    lin = pipe.lineage.read()
+    assert lin["batch_latency_ms"].max() >= snap[BATCH_PRODUCE_LATENCY_MS] / 1000
+
+
+def test_rejection_error_classes(spark, log_dir, tmp_path):
+    """validation / oversize rejections carry distinct error_class values so
+    a user can separate 'payload too large' from 'failed validation'."""
+    base = str(tmp_path / "t")
+    pipe = CdcPipeline(
+        spark,
+        base,
+        run_id="classes",
+        validate=F.col("turn_idx") < 1_000_000,  # passes everything real
+        max_message_bytes=24,  # generator texts are longer than this often
+    )
+    pipe.run_stream(log_dir, str(tmp_path / "ck"), max_files_per_trigger=8)
+    rej_files = glob.glob(os.path.join(base, "_rejections", "*.parquet"))
+    assert rej_files, "no rejections written"
+    rej = pd.concat([pd.read_parquet(f) for f in rej_files])
+    assert "error_class" in rej.columns
+    assert (rej["error_class"] == "oversize").any(), "oversize guard never fired"
+    assert set(rej["error_class"]) <= {"validation", "routing", "oversize"}
+    # oversize rows were excluded from the table, not merged
+    tbl = pipe.read_table().toPandas()
+    assert (tbl["text"].fillna("").str.encode("utf-8").str.len() <= 24).all()
