@@ -25,6 +25,29 @@ def substitute_env(text: str) -> str:
     return _ENV_RE.sub(lambda m: os.environ.get(m.group(1), ""), text)
 
 
+_SPARK_LEVELS = {"ALL", "DEBUG", "ERROR", "FATAL", "INFO", "OFF", "TRACE", "WARN"}
+
+
+def set_logger(level: str = "WARN", spark=None, logger=None):
+    """SetLogger analog (/root/reference/connector.go:289-294): swap/retune
+    the engine's logger. Configures the ``go_dcp_kafka_spark`` python logger
+    (or a caller-supplied one) and, when a session is given, the JVM log4j
+    level too. Returns the configured logger."""
+    import logging
+
+    log = logger or logging.getLogger("go_dcp_kafka_spark")
+    py_level = getattr(logging, str(level).upper(), logging.WARNING)
+    log.setLevel(py_level)
+    if not log.handlers:
+        h = logging.StreamHandler()
+        h.setFormatter(logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s"))
+        log.addHandler(h)
+    if spark is not None:
+        lvl = str(level).upper()
+        spark.sparkContext.setLogLevel(lvl if lvl in _SPARK_LEVELS else "WARN")
+    return log
+
+
 @dataclass
 class PipelineConfig:
     """Engine analog of config.Connector{Kafka, Dcp}. Defaults mirror the
@@ -44,6 +67,8 @@ class PipelineConfig:
     routing: dict[str, str] = field(default_factory=dict)
     shuffle_partitions: int | None = None
     app_name: str = "go_dcp_kafka_spark"
+    max_message_bytes: int | None = None  # MessageTooLargeError analog (producer_batch.go:146-185)
+    log_level: str | None = None          # SetLogger analog (connector.go:289-294)
 
     @classmethod
     def from_yaml(cls, path_or_text: str) -> PipelineConfig:
@@ -77,6 +102,8 @@ class PipelineBuilder:
         self._on_epoch_complete = None
         self._spark = None
         self._tables = None
+        self._metrics = None
+        self._logger = None
 
     def set_spark(self, spark):
         self._spark = spark
@@ -102,6 +129,18 @@ class PipelineBuilder:
         self._on_epoch_complete = callback
         return self
 
+    def set_metrics(self, registry):
+        """Live gauge registry (streaming.metrics.MetricsRegistry) — the
+        reference's metric collector hookup."""
+        self._metrics = registry
+        return self
+
+    def set_logger(self, logger):
+        """SetLogger analog (connector.go:289-294): use a caller-supplied
+        logging.Logger instead of the package default."""
+        self._logger = logger
+        return self
+
     def build(self):
         from go_dcp_kafka_spark.session import get_spark
         from go_dcp_kafka_spark.streaming.runner import CdcPipeline
@@ -113,6 +152,8 @@ class PipelineBuilder:
             from go_dcp_kafka_spark.functions.mapper import route_mapper
 
             mapper = route_mapper(c.routing)
+        if c.log_level is not None or self._logger is not None:
+            set_logger(c.log_level or "WARN", spark=spark, logger=self._logger)
         pipe = CdcPipeline(
             spark,
             c.base_dir,
@@ -124,6 +165,8 @@ class PipelineBuilder:
             strict_routing=c.strict_routing,
             merge_mode=c.merge_mode,
             compact_every=c.compact_every,
+            max_message_bytes=c.max_message_bytes,
+            metrics=self._metrics,
         )
         pipe.on_epoch_complete = self._on_epoch_complete
         pipe.config = c

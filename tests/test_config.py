@@ -50,3 +50,41 @@ def test_builder_end_to_end_with_completion_handler(spark, gen_result, log_info,
     pipe.run_stream(log_info["dir"], str(tmp_path / "ck"), max_files_per_trigger=4)
     assert len(seen) >= 2 and all("epoch" in s for s in seen)
     assert_frames_equal(pipe.read_table().toPandas(), fold_oracle(gen_result.events))
+
+
+def test_set_logger_analog(spark):
+    """SetLogger analog (connector.go:289-294): configures the package
+    logger level and accepts a caller-supplied logger."""
+    import logging
+
+    from go_dcp_kafka_spark.config import set_logger
+
+    log = set_logger("INFO", spark=spark)
+    assert log.level == logging.INFO and log.name == "go_dcp_kafka_spark"
+    custom = logging.getLogger("my_app_cdc")
+    assert set_logger("DEBUG", logger=custom) is custom
+    assert custom.level == logging.DEBUG
+    set_logger("WARN", spark=spark)  # restore quiet JVM logs
+
+
+def test_builder_wires_metrics_oversize_and_logger(spark, log_dir, tmp_path):
+    from go_dcp_kafka_spark.streaming.metrics import BATCH_PRODUCE_LATENCY_MS, MetricsRegistry
+
+    reg = MetricsRegistry()
+    pipe = (
+        PipelineBuilder(
+            {
+                "base_dir": str(tmp_path / "t"),
+                "source_dir": log_dir,
+                "run_id": "bw",
+                "max_message_bytes": 25,
+                "log_level": "WARN",
+            }
+        )
+        .set_spark(spark)
+        .set_metrics(reg)
+        .build()
+    )
+    assert pipe.max_message_bytes == 25 and pipe.metrics is reg
+    pipe.run_stream(log_dir, str(tmp_path / "ck"), max_files_per_trigger=8)
+    assert reg.get(BATCH_PRODUCE_LATENCY_MS) > 0
