@@ -56,7 +56,9 @@ def minhash_signatures(
     Pure projection — a scan with no shuffle; each permutation is
     min((a*h31(shingle)+b) mod p) over the shingle array. Oracle-portable
     (md5-derived h31 + int64-safe products)."""
-    sh = _word_shingles(text_col, shingle_words).alias("_sh")
+    # distinct first: min over a multiset == min over its set, and md5 per
+    # shingle is the dominant cost — hash each distinct shingle once
+    sh = F.array_distinct(_word_shingles(text_col, shingle_words)).alias("_sh")
     base = docs.select("doc_id", F.transform(sh, h31).alias("_h"))
     cols = [
         F.array_min(F.transform(F.col("_h"), lambda h: perm_hash(h, a, b))).alias(f"mh_{i}")
@@ -191,9 +193,19 @@ def jaccard_verify_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (the verify stage after LSH).
     Shingle sets are joined in (two broadcast-able/equi joins), similarity
-    via array_intersect/array_union sizes."""
-    sh = docs.select(
-        "doc_id", F.array_distinct(_word_shingles(text_col, shingle_words)).alias("sh")
+    via array_intersect/array_union sizes.
+
+    The expensive shingle projection runs ONLY for docs that appear in a
+    candidate pair (semi-join first): after LSH pruning candidates are a
+    tiny fraction of the corpus, so shingling everything twice — once per
+    join side — would dominate the verify stage at scale."""
+    cand_ids = pairs.select(F.col("a_id").alias("doc_id")).unionByName(
+        pairs.select(F.col("b_id").alias("doc_id"))
+    ).distinct()
+    sh = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.array_distinct(_word_shingles(text_col, shingle_words)).alias("sh"))
+        .localCheckpoint(eager=False)  # reused by both pair sides
     )
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "sh_a"), "a_id")

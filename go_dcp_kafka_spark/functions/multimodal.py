@@ -108,7 +108,10 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 def _fake_feature(payload: pd.Series, dim: int = 8) -> pd.Series:
     """Deterministic stand-in for a real encoder: fold bytes into `dim`
-    float accumulators. Vectorized per batch."""
+    float accumulators. NOTE: numpy-per-row over the Arrow batch (payloads
+    are variable-length, so rows can't share one matrix); a REAL encoder
+    would pad/stack the batch and run one batched matmul per Arrow batch —
+    the mapInPandas plumbing is identical either way."""
 
     def enc(b: bytes | None):
         if b is None:

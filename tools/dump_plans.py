@@ -60,6 +60,23 @@ def main() -> None:
         "TakeOrderedAndProject: per-partition heap + driver merge, no global sort shuffle.",
     )
 
+    from go_dcp_kafka_spark.functions.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cap(
+        "IVF cell assignment (shuffle-free argmax)",
+        ivf_assign(emb, cents),
+        "The corpus scan flows through ONE BroadcastNestedLoopJoin against a "
+        "single packed centroid-array row, then a per-row F.aggregate argmax "
+        "projection — no Window, no hashpartitioning Exchange, no N×K "
+        "materialization (the round-1 crossJoin+row_number would shuffle "
+        "~10^15 rows at 10^10 vectors). The only exchanges sit on the K-row "
+        "centroid side (SinglePartition + Broadcast).",
+    )
+
     out = (
         "# PLANS — physical plans of the core operators (captured from .explain)\n\n"
         "Regenerate: `python tools/dump_plans.py` (this file).\n\n" + "\n".join(sections)
