@@ -41,6 +41,16 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a SMALL-bytes/heavy-CPU input (per-row md5/regex work) across all
+    cores. The testdata corpus is one small parquet file, so the scan
+    otherwise packs into one task and the expensive projection runs on one
+    core; the shuffle moved is a few MB of text. At real scale the input has
+    thousands of splits and this is a no-op cost-wise (same knob as
+    files.maxPartitionBytes tuning)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _cents(col):
     return F.round(col * 100).cast("long")
 
@@ -266,7 +276,7 @@ def q_emb_knn_join(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return pairwise_topk_join(queries_df, emb, k=5)
+    return pairwise_topk_join(queries_df, _spread(emb), k=5)
 
 
 # ======================================================== dedup / text ops
@@ -281,19 +291,19 @@ def q_doc_exact_dedup(spark, sf_dir):
 def q_doc_text_profile(spark, sf_dir):
     from go_dcp_kafka_spark.functions.textstats import text_profile
 
-    return text_profile(_read(spark, sf_dir, "documents"))
+    return text_profile(_spread(_read(spark, sf_dir, "documents")))
 
 
 def q_doc_minhash(spark, sf_dir):
     from go_dcp_kafka_spark.functions.dedup_text import minhash_signatures
 
-    return minhash_signatures(_read(spark, sf_dir, "documents"), num_hashes=4)
+    return minhash_signatures(_spread(_read(spark, sf_dir, "documents")), num_hashes=4)
 
 
 def q_doc_simhash(spark, sf_dir):
     from go_dcp_kafka_spark.functions.dedup_text import simhash
 
-    return simhash(_read(spark, sf_dir, "documents"), bits=16)
+    return simhash(_spread(_read(spark, sf_dir, "documents")), bits=16)
 
 
 def q_doc_near_dup(spark, sf_dir):
@@ -305,7 +315,7 @@ def q_doc_near_dup(spark, sf_dir):
         minhash_near_duplicates,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     pairs = minhash_near_duplicates(
         docs,
         num_hashes=NEAR_DUP_HASHES,
@@ -324,13 +334,13 @@ def _qvec(spark, sf_dir):
 def q_emb_cosine_topk(spark, sf_dir):
     from go_dcp_kafka_spark.functions.similarity import cosine_topk
 
-    return cosine_topk(_read(spark, sf_dir, "embeddings"), _qvec(spark, sf_dir), k=10)
+    return cosine_topk(_spread(_read(spark, sf_dir, "embeddings")), _qvec(spark, sf_dir), k=10)
 
 
 def q_emb_ann_lsh(spark, sf_dir):
     from go_dcp_kafka_spark.functions.similarity import ann_lsh_topk
 
-    return ann_lsh_topk(_read(spark, sf_dir, "embeddings"), _qvec(spark, sf_dir), k=10)
+    return ann_lsh_topk(_spread(_read(spark, sf_dir, "embeddings")), _qvec(spark, sf_dir), k=10)
 
 
 def q_emb_ivf_topk(spark, sf_dir):
@@ -338,7 +348,7 @@ def q_emb_ivf_topk(spark, sf_dir):
     the query's cell (nprobe=1)."""
     from go_dcp_kafka_spark.functions.similarity import ivf_topk
 
-    return ivf_topk(_read(spark, sf_dir, "embeddings"), _qvec(spark, sf_dir), k=10, n_centroids=16)
+    return ivf_topk(_spread(_read(spark, sf_dir, "embeddings")), _qvec(spark, sf_dir), k=10, n_centroids=16)
 
 
 def q_media_features(spark, sf_dir):
@@ -351,7 +361,7 @@ def q_media_features(spark, sf_dir):
 
     # coalesce: binary payloads want few large partitions — spawning a
     # Python worker per tiny partition dominates at this row count
-    media = media_from_documents(_read(spark, sf_dir, "documents")).coalesce(4)
+    media = media_from_documents(_spread(_read(spark, sf_dir, "documents")))
     return extract_features_scalar(media, use_fake=True).orderBy("media_id")
 
 
@@ -378,7 +388,7 @@ def q_emb_near_dup(spark, sf_dir):
 
     # low threshold: the synthetic embeddings have no true near-dups, and a
     # 0-row match would be trivially-passing evidence
-    return embedding_near_duplicates(_read(spark, sf_dir, "embeddings"), threshold=0.2)
+    return embedding_near_duplicates(_spread(_read(spark, sf_dir, "embeddings")), threshold=0.2)
 
 
 # ================================================================= contract
