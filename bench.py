@@ -99,6 +99,11 @@ def main() -> None:
         # sustained merge-apply throughput, not one-time session startup
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         read_change_log(spark, log_dir).limit(1000).count()
+        # ... and the Python-worker pool (one-time ~50ms/core spawn would
+        # otherwise be billed to the first mapInPandas query)
+        spark.range(cpus * 4).repartition(cpus).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
 
         # ---- headline: batch replay (fold + normalize + table write) ------
         # 3 repetitions, report the fastest steady-state run: the first
