@@ -263,9 +263,6 @@ class CdcPipeline:
             self._reject(unknown, "unknown routing target", epoch_key, REJECT_ROUTING)
         for name, table in self.tables.items():
             part = mapped.filter(F.col("target") == name).drop("target") if has_target else mapped
-            # (Observation metrics would count winners during the merge's own
-            # write job, but Spark rejects observe() on foreachBatch-derived
-            # plans — count on the cache instead, materialized by the merge)
             winners = lww_winners(part).persist()
             try:
                 upserts = winners.filter(F.col("op") == OP_MUTATION).select(*KEY_COLS, *PAYLOAD_COLS)
@@ -274,7 +271,11 @@ class CdcPipeline:
                 merge_fn = table.merge_mor if self.merge_mode == "mor" else table.merge
                 res = merge_fn(upserts, deletes, epoch_id=ek, n_updates=n_upper)
                 if not res.get("skipped"):
-                    total += winners.count()
+                    # merged-key count comes back from the merge itself (COW:
+                    # fused into the touched-bucket job; MOR: parquet footer
+                    # metadata) — no extra count job per epoch
+                    n = res.get("n_upserts")
+                    total += int(n) if n is not None else winners.count()
                 if self.merge_mode == "mor" and self.compact_every:
                     self._epochs_since_compact += 1
                     if self._epochs_since_compact >= self.compact_every:

@@ -238,7 +238,12 @@ class SnapshotTable:
             keys = keys.unionByName(delete_keys.withColumn("_bucket", bexpr).select(*self.key_cols, "_bucket"))
         keys = keys.persist()
         try:
-            touched = sorted(r["_bucket"] for r in keys.select("_bucket").distinct().collect())
+            # ONE job yields both the touched-bucket set and the update-row
+            # count (when inputs are LWW winners, rows == distinct keys ==
+            # the epoch's merged-key count — saves the runner a count job)
+            bucket_counts = keys.groupBy("_bucket").count().collect()
+            touched = sorted(r["_bucket"] for r in bucket_counts)
+            n_upserts = int(sum(r["count"] for r in bucket_counts))
             new_version = m["version"] + 1
             rel_dir = f"data/v{new_version:06d}"
             out_dir = os.path.join(self.path, rel_dir)
@@ -256,7 +261,6 @@ class SnapshotTable:
                 combined = kept.unionByName(upserts, allowMissingColumns=True)
             else:
                 combined = upserts
-            n_upserts = None
             if touched:
                 (
                     combined.repartition(max(len(touched), 1), F.col("_bucket"))
@@ -317,11 +321,21 @@ class SnapshotTable:
         # upserts come from the key-grouped fold: already bucket-aligned, no
         # repartition (deltas are small; one file per bucket per task)
         rows.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        # row count from the written files' parquet FOOTERS — driver-side
+        # metadata read, zero extra Spark jobs (delta rows == LWW winners, so
+        # this is the epoch's merged-key count)
+        n_rows = _parquet_footer_rows(out_dir)
         m["deltas"].append(rel_dir)
         m["version"] = new_version
         m["committed_epochs"][epoch_id] = new_version
         self._commit_manifest(m)
-        return {"skipped": False, "epoch": epoch_id, "version": new_version, "mode": "mor"}
+        return {
+            "skipped": False,
+            "epoch": epoch_id,
+            "version": new_version,
+            "mode": "mor",
+            "n_upserts": n_rows,
+        }
 
     @_locked
     def compact(self) -> dict[str, Any]:
@@ -392,6 +406,20 @@ class SnapshotTable:
         for v in versions[:-keep_last] if keep_last else versions:
             if v not in live:
                 shutil.rmtree(os.path.join(data_root, v), ignore_errors=True)
+
+
+def _parquet_footer_rows(out_dir: str) -> int:
+    """Sum num_rows over the parquet footers under ``out_dir`` — a
+    driver-side metadata read (no Spark job). File count is bounded by
+    buckets × tasks per epoch."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in _glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
 
 
 def iceberg_merge_sql(target: str, source_view: str, key_cols: tuple[str, ...], payload_cols: tuple[str, ...]) -> str:
