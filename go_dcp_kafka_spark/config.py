@@ -69,6 +69,7 @@ class PipelineConfig:
     app_name: str = "go_dcp_kafka_spark"
     max_message_bytes: int | None = None  # MessageTooLargeError analog (producer_batch.go:146-185)
     log_level: str | None = None          # SetLogger analog (connector.go:289-294)
+    source_format: str = "parquet"        # 'parquet' | 'json' (Kafka/Debezium-style lines)
 
     @classmethod
     def from_yaml(cls, path_or_text: str) -> PipelineConfig:
@@ -167,6 +168,7 @@ class PipelineBuilder:
             compact_every=c.compact_every,
             max_message_bytes=c.max_message_bytes,
             metrics=self._metrics,
+            source_format=c.source_format,
         )
         pipe.on_epoch_complete = self._on_epoch_complete
         pipe.config = c

@@ -297,6 +297,36 @@ def write_change_log(
     return {"paths": paths, "evolution_boundary": boundary}
 
 
+def write_change_log_json(
+    events: pd.DataFrame,
+    out_dir: str,
+    n_files: int = 8,
+    evolution_boundary: int | None = None,
+) -> dict:
+    """JSON-lines twin of write_change_log — the Kafka/Debezium wire format
+    (timestamps as ISO-8601 strings, schema-evolution files omit the
+    ``tool`` key entirely). Readers parse with CHANGE_EVENT_SCHEMA via
+    sources.changelog.read_change_log_json / stream_change_log_json."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(events)
+    bounds = np.linspace(0, n, n_files + 1).astype(int)
+    boundary = n if evolution_boundary is None else evolution_boundary
+    paths = []
+    for i in range(n_files):
+        chunk = events.iloc[bounds[i] : bounds[i + 1]]
+        if bounds[i + 1] <= boundary:
+            assert chunk["tool"].isna().all()
+            chunk = chunk.drop(columns=["tool"])
+        p = os.path.join(out_dir, f"chunk-{i:05d}.jsonl")
+        chunk.to_json(p, orient="records", lines=True, date_format="iso", date_unit="us")
+        t = 1_700_000_000 + i * 10
+        os.utime(p, (t, t))
+        paths.append(p)
+    with open(os.path.join(out_dir, "_gen_meta.json"), "w") as f:
+        json.dump({"n_events": n, "n_files": n_files, "evolution_boundary": boundary}, f)
+    return {"paths": paths, "evolution_boundary": boundary}
+
+
 #: The flagship fixture used by __spark_entry__ (queries + oracle twin).
 FLAGSHIP_CONFIG = dict(seed=42, n_convs=400, n_hot_convs=4, hot_turns=200, n_partitions=32)
 

@@ -43,7 +43,12 @@ from go_dcp_kafka_spark.schema import (
     REJECT_VALIDATION,
     TRANSCRIPT_SCHEMA,
 )
-from go_dcp_kafka_spark.sources.changelog import read_change_log, stream_change_log
+from go_dcp_kafka_spark.sources.changelog import (
+    read_change_log,
+    read_change_log_json,
+    stream_change_log,
+    stream_change_log_json,
+)
 from go_dcp_kafka_spark.streaming.checkpoints import CheckpointStore
 from go_dcp_kafka_spark.streaming.lineage import LineageLog
 from go_dcp_kafka_spark.table.snapshot import SnapshotTable
@@ -78,6 +83,7 @@ class CdcPipeline:
         compact_every: int | None = None,
         max_message_bytes: int | None = None,
         metrics=None,
+        source_format: str = "parquet",
     ) -> None:
         """``merge_mode``: 'cow' rewrites touched buckets per epoch (read-
         optimized); 'mor' appends versioned deltas per epoch (write-optimized
@@ -107,6 +113,10 @@ class CdcPipeline:
         self.max_message_bytes = max_message_bytes
         #: optional MetricsRegistry (streaming.metrics) for live gauges
         self.metrics = metrics
+        if source_format not in ("parquet", "json"):
+            raise ValueError(f"source_format must be 'parquet' or 'json', got {source_format!r}")
+        #: wire format of the change log ('json' = Kafka/Debezium-style lines)
+        self.source_format = source_format
         self._epochs_since_compact = 0
         self.last_stats: dict = {}
         #: completionHandler analog (connector.go:309-312): called with the
@@ -311,7 +321,8 @@ class CdcPipeline:
         """Tail the log until drained (availableNow), resumable from the
         Spark checkpoint — the reference's Start()/graceful-Close lifecycle
         (connector.go:50-64)."""
-        stream = stream_change_log(self.spark, source_dir, max_files_per_trigger)
+        stream_fn = stream_change_log_json if self.source_format == "json" else stream_change_log
+        stream = stream_fn(self.spark, source_dir, max_files_per_trigger)
         writer = (
             stream.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", checkpoint_location)
@@ -328,7 +339,8 @@ class CdcPipeline:
         """Finite/backfill mode (dcp_event_handler.go:29-34): fold the whole
         log in one shot and overwrite the table — fastest cold-start path
         (one shuffle, no per-epoch overhead)."""
-        events = read_change_log(self.spark, source_dir)
+        read_fn = read_change_log_json if self.source_format == "json" else read_change_log
+        events = read_fn(self.spark, source_dir)
         markers = extract_rollback_markers(events)
         live = apply_rollbacks(events, markers)
         winners = lww_winners(live)
