@@ -342,7 +342,16 @@ def materialize_flagship_log(path: str | None = None) -> str:
 
     if path is None:
         tag = "_".join(f"{k}{v}" for k, v in sorted(FLAGSHIP_CONFIG.items()))
-        path = os.path.join(tempfile.gettempdir(), f"gdks_flagship_log_{tag}.parquet")
+        fname = f"gdks_flagship_log_{tag}.parquet"
+        # repo-local cache first: the Spark-query and DuckDB-oracle sides may
+        # run with different TMPDIRs; a path anchored to this package is the
+        # same in both. Fall back to the system tempdir if not writable.
+        cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
+        try:
+            os.makedirs(cache, exist_ok=True)
+            path = os.path.join(cache, fname)
+        except OSError:
+            path = os.path.join(tempfile.gettempdir(), fname)
     if os.path.exists(path):
         return path
     res = generate_change_events(GenConfig(**FLAGSHIP_CONFIG))
