@@ -351,6 +351,18 @@ def q_emb_ivf_topk(spark, sf_dir):
     return ivf_topk(_spread(_read(spark, sf_dir, "embeddings")), _qvec(spark, sf_dir), k=10, n_centroids=16)
 
 
+def q_emb_ivf_nprobe(spark, sf_dir):
+    """IVF ANN at nprobe=4: scan the query's 4 nearest cells — the
+    recall/cost knob a real deployment tunes (nprobe=K degenerates to the
+    exact scan; see test_datapipe recall invariants)."""
+    from go_dcp_kafka_spark.functions.similarity import ivf_topk
+
+    return ivf_topk(
+        _spread(_read(spark, sf_dir, "embeddings")), _qvec(spark, sf_dir),
+        k=10, n_centroids=16, nprobe=4,
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing — binary media column (utf-8 bytes of document
     text) -> Arrow-batched mapInPandas feature extraction. The deterministic
@@ -423,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_ivf_nprobe": q_emb_ivf_nprobe,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
     }
@@ -461,6 +474,33 @@ _COS = (
 _SIGN_BUCKET = (
     "(" + " + ".join(f"(CASE WHEN {{v}}[{j + 1}] > 0 THEN {2**j} ELSE 0 END)" for j in range(8)) + ")"
 )
+
+
+def _ivf_sql(nprobe: int, n_centroids: int = 16, k: int = 10) -> str:
+    """DuckDB twin of similarity.ivf_topk at the given nprobe."""
+    return f"""
+        WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                   FROM embeddings WHERE vec_id < {n_centroids}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        s AS (SELECT e.vec_id, c.cid,
+                     round(list_dot_product(ve, ce) /
+                           (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))), 6) AS cos
+              FROM e CROSS JOIN c),
+        a AS (SELECT vec_id, cid AS cell FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) rn FROM s)
+              WHERE rn = 1),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        probe AS (SELECT cid FROM c, q
+                  ORDER BY round(list_dot_product(qe, ce) /
+                           (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) DESC, cid
+                  LIMIT {nprobe})
+        SELECT e.vec_id,
+               CAST(round(list_dot_product(ve, qe) /
+                    (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))), 6) AS DOUBLE) AS cosine
+        FROM e JOIN a ON e.vec_id = a.vec_id CROSS JOIN q
+        WHERE a.cell IN (SELECT cid FROM probe)
+        ORDER BY cosine DESC, e.vec_id LIMIT {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -692,29 +732,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_SIGN_BUCKET.format(v="e.embedding")} = q.bucket
             ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
-        "emb_ivf_topk": """
-            WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                       FROM embeddings WHERE vec_id < 16),
-            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-            s AS (SELECT e.vec_id, c.cid,
-                         round(list_dot_product(ve, ce) /
-                               (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))), 6) AS cos
-                  FROM e CROSS JOIN c),
-            a AS (SELECT vec_id, cid AS cell FROM
-                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) rn FROM s)
-                  WHERE rn = 1),
-            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
-            probe AS (SELECT cid FROM c, q
-                      ORDER BY round(list_dot_product(qe, ce) /
-                               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) DESC, cid
-                      LIMIT 1)
-            SELECT e.vec_id,
-                   CAST(round(list_dot_product(ve, qe) /
-                        (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))), 6) AS DOUBLE) AS cosine
-            FROM e JOIN a ON e.vec_id = a.vec_id CROSS JOIN q
-            WHERE a.cell IN (SELECT cid FROM probe)
-            ORDER BY cosine DESC, e.vec_id LIMIT 10
-        """,
+        "emb_ivf_topk": _ivf_sql(nprobe=1),
+        "emb_ivf_nprobe": _ivf_sql(nprobe=4),
         "media_features": f"""
             SELECT doc_id AS media_id,
                    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,

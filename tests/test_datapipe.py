@@ -77,6 +77,21 @@ def test_cosine_topk_and_ann(spark, embs):
     assert approx["cosine"].between(-1.001, 1.001).all()
 
 
+def test_ivf_recall_invariants(spark, embs):
+    """IVF recall grows with nprobe, and probing every cell degenerates to
+    the exact brute-force scan (the recall/cost knob a deployment tunes)."""
+    from go_dcp_kafka_spark.functions.similarity import ivf_topk
+
+    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    exact = {r["vec_id"] for r in cosine_topk(embs, qvec, k=10).collect()}
+    got1 = {r["vec_id"] for r in ivf_topk(embs, qvec, k=10, n_centroids=16, nprobe=1).collect()}
+    got4 = {r["vec_id"] for r in ivf_topk(embs, qvec, k=10, n_centroids=16, nprobe=4).collect()}
+    got_all = {r["vec_id"] for r in ivf_topk(embs, qvec, k=10, n_centroids=16, nprobe=16).collect()}
+    assert got_all == exact, "nprobe=K must equal the exact scan"
+    assert len(got4 & exact) >= len(got1 & exact), "recall must not drop as nprobe grows"
+    assert 0 in got1, "the query's own vector lives in its own cell"
+
+
 def test_embedding_near_duplicates(spark, embs):
     nd = embedding_near_duplicates(embs, threshold=0.8).toPandas()
     assert (nd["a_id"] < nd["b_id"]).all()
