@@ -47,6 +47,28 @@ def test_json_read_roundtrips_envelope(spark, json_case):
     assert g["tool"].isna().sum() >= s["tool"].isna().sum() * 0 + 1
 
 
+def test_wire_formats_fold_identically(spark, tmp_path):
+    """Property: the SAME generated log written as parquet and as JSON
+    lines folds to byte-identical final state — the wire format is
+    transparent to the engine."""
+    import tempfile
+
+    from go_dcp_kafka_spark.gen import write_change_log
+    from go_dcp_kafka_spark.operators.fold import fold_change_events
+    from go_dcp_kafka_spark.sources.changelog import read_change_log
+
+    for seed in (5, 17):
+        res = generate_change_events(
+            GenConfig(seed=seed, n_convs=60, n_hot_convs=1, hot_turns=50, n_partitions=8)
+        )
+        dp, dj = tempfile.mkdtemp(), tempfile.mkdtemp()
+        write_change_log(res.events, dp, n_files=4, evolution_boundary=res.meta["evolution_boundary"])
+        write_change_log_json(res.events, dj, n_files=4, evolution_boundary=res.meta["evolution_boundary"])
+        a = fold_change_events(read_change_log(spark, dp)).orderBy("conv_id", "turn_idx").toPandas()
+        b = fold_change_events(read_change_log_json(spark, dj)).orderBy("conv_id", "turn_idx").toPandas()
+        assert a.equals(b), f"wire divergence at seed {seed}"
+
+
 def test_json_batch_replay_matches_oracle(spark, json_case, tmp_path):
     pipe = CdcPipeline(spark, str(tmp_path / "t"), run_id="jb", source_format="json")
     pipe.run_batch_replay(json_case["dir"])
