@@ -60,7 +60,8 @@ class PipelineConfig:
     num_buckets: int = 16
     merge_mode: str = "cow"               # 'cow' | 'mor'
     compact_every: int | None = None
-    max_files_per_trigger: int = 2        # producerBatchSize analog (source rate limit)
+    max_files_per_trigger: int = 2        # producerBatchSize analog (count threshold)
+    max_bytes_per_trigger: int | None = None  # producerBatchBytes analog (size threshold)
     trigger_seconds: float | None = None  # producerBatchTickerDuration analog (10s default there)
     run_id: str = "run"
     strict_routing: bool = False          # reference panics on missing mapping

@@ -30,10 +30,19 @@ def stream_change_log(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int | None = 2,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming tail of the log; one micro-batch per trigger."""
+    """Streaming tail of the log; one micro-batch per trigger.
+
+    Micro-batch admission mirrors the reference's double batch threshold
+    (producer_batch.go:54-61: flush at N messages OR M bytes):
+    ``maxFilesPerTrigger`` is the count knob, ``maxBytesPerTrigger`` the
+    size knob (the size knob wins if both are set, matching Spark's file
+    source precedence)."""
     reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
-    if max_files_per_trigger:
+    if max_bytes_per_trigger:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    elif max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # the log is append-only; file order is delivery order
     reader = reader.option("latestFirst", "false")
@@ -60,10 +69,13 @@ def stream_change_log_json(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int | None = 2,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming tail of a JSON-lines change log."""
     reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA).options(**_JSON_TS_OPTS)
-    if max_files_per_trigger:
+    if max_bytes_per_trigger:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    elif max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     reader = reader.option("latestFirst", "false")
     return reader.json(path)

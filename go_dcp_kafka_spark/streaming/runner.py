@@ -317,12 +317,15 @@ class CdcPipeline:
         checkpoint_location: str,
         max_files_per_trigger: int | None = 2,
         available_now: bool = True,
+        max_bytes_per_trigger: int | None = None,
     ):
         """Tail the log until drained (availableNow), resumable from the
         Spark checkpoint — the reference's Start()/graceful-Close lifecycle
-        (connector.go:50-64)."""
+        (connector.go:50-64). Micro-batch admission: count knob
+        (``max_files_per_trigger``) or size knob (``max_bytes_per_trigger``),
+        the reference's double batch threshold (producer_batch.go:54-61)."""
         stream_fn = stream_change_log_json if self.source_format == "json" else stream_change_log
-        stream = stream_fn(self.spark, source_dir, max_files_per_trigger)
+        stream = stream_fn(self.spark, source_dir, max_files_per_trigger, max_bytes_per_trigger)
         writer = (
             stream.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", checkpoint_location)

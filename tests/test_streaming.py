@@ -120,6 +120,20 @@ def test_batch_replay_equals_streaming(spark, stream_case, tmp_path):
     assert_frames_equal(actual, stream_case["expected"])
 
 
+def test_byte_threshold_trigger(spark, stream_case, tmp_path):
+    """A1 parity: the reference flushes at N messages OR M bytes
+    (producer_batch.go:54-61). The size knob must admit the log over
+    multiple epochs and converge to the same oracle state."""
+    pipe = _fresh_pipeline(spark, tmp_path)
+    pipe.run_stream(
+        stream_case["dir"], str(tmp_path / "ck"),
+        max_files_per_trigger=None, max_bytes_per_trigger=64 * 1024,
+    )
+    assert_frames_equal(pipe.read_table().toPandas(), stream_case["expected"])
+    lin = pipe.lineage.read()
+    assert lin["commit_epoch"].nunique() > 1, "byte threshold never split the log into epochs"
+
+
 def test_batch_replay_hwm_survives_rollback_handoff(spark, stream_case, tmp_path):
     """The backfill->stream handoff: run_batch_replay's committed HWM must be
     the max ROLLBACK-SURVIVING seqno, not the raw max (which includes rolled-

@@ -46,6 +46,7 @@ def main() -> None:
             cfg.checkpoint_location,
             max_files_per_trigger=cfg.max_files_per_trigger,
             available_now=args.available_now,
+            max_bytes_per_trigger=cfg.max_bytes_per_trigger,
         )
     print(f"final table rows: {pipe.read_table().count()}")
 
