@@ -194,6 +194,29 @@ def q_cdc_full_fold(spark, sf_dir):
     return fold_change_events(events).orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_to_profile(spark, sf_dir):
+    """END-TO-END integration: CDC fold -> training-data pipeline. The
+    flagship change log is folded into final transcript state, each kept
+    turn becomes a document (doc_id = md5-derived int64 of conv_id#turn),
+    and the full text-analysis profile runs over the result — the 'LLM data
+    pipeline over CDC-ingested transcripts' composition the engine exists
+    for. One fold shuffle + one projection; no extra exchange."""
+    from go_dcp_kafka_spark.functions.hashing import md5_hash60
+    from go_dcp_kafka_spark.functions.textstats import text_profile
+    from go_dcp_kafka_spark.gen import materialize_flagship_log
+    from go_dcp_kafka_spark.operators.fold import fold_change_events
+    from go_dcp_kafka_spark.schema import CHANGE_EVENT_SCHEMA
+
+    path = materialize_flagship_log()
+    events = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(path)
+    folded = fold_change_events(events)
+    docs = folded.select(
+        md5_hash60(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))).alias("doc_id"),
+        "text",
+    )
+    return text_profile(docs)
+
+
 def q_cdc_salted_rollup(spark, sf_dir):
     """Skew-proof per-key rollup via salt + two-phase aggregation
     (operators/salting.py) — the hot-conv_id strategy exercised as a query.
@@ -420,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_lineage": q_cdc_lineage,
         "cdc_salted_rollup": q_cdc_salted_rollup,
+        "cdc_to_profile": q_cdc_to_profile,
         "cdc_full_fold": q_cdc_full_fold,
         "sort_topk": q_sort_topk,
         "join_agg": q_join_agg,
@@ -551,6 +575,25 @@ def oracle_sql() -> dict[str, str]:
     )
     jacc_sh = _shingles("text", 3)
 
+    fold_sql = f"""
+            WITH ev AS (SELECT * FROM read_parquet('{flagship_path}')),
+            m AS (SELECT partition_id AS rb_partition_id, rollback_point AS rb_point,
+                         delivery_seq AS rb_delivery
+                  FROM ev WHERE op = 'rollback'),
+            live AS (
+                SELECT e.* FROM ev e
+                WHERE e.op <> 'rollback'
+                  AND NOT EXISTS (SELECT 1 FROM m
+                                  WHERE m.rb_partition_id = e.partition_id
+                                    AND e.seqno > m.rb_point
+                                    AND e.delivery_seq < m.rb_delivery)),
+            w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                               ORDER BY seqno DESC, delivery_seq DESC) AS rn
+                  FROM live)
+            SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op = 'mutation'
+    """
+
     return {
         "cdc_lww_fold": """
             SELECT user_id, event_id AS last_event_id, event_type AS last_type,
@@ -608,23 +651,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type NOT IN ('purchase', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
             FROM events GROUP BY user_id % 8
         """,
-        "cdc_full_fold": f"""
-            WITH ev AS (SELECT * FROM read_parquet('{flagship_path}')),
-            m AS (SELECT partition_id AS rb_partition_id, rollback_point AS rb_point,
-                         delivery_seq AS rb_delivery
-                  FROM ev WHERE op = 'rollback'),
-            live AS (
-                SELECT e.* FROM ev e
-                WHERE e.op <> 'rollback'
-                  AND NOT EXISTS (SELECT 1 FROM m
-                                  WHERE m.rb_partition_id = e.partition_id
-                                    AND e.seqno > m.rb_point
-                                    AND e.delivery_seq < m.rb_delivery)),
-            w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
-                                               ORDER BY seqno DESC, delivery_seq DESC) AS rn
-                  FROM live)
-            SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts
-            FROM w WHERE rn = 1 AND op = 'mutation'
+        "cdc_full_fold": fold_sql,
+        "cdc_to_profile": f"""
+            WITH f AS ({fold_sql}),
+            documents_cdc AS (
+                SELECT {_H60.format(x="CONCAT(conv_id, '#', CAST(turn_idx AS VARCHAR))")} AS doc_id,
+                       text
+                FROM f)
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens_ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+                   CAST(round({stopratio}, 6) AS DOUBLE) AS stopword_ratio,
+                   CAST(round({punctratio}, 6) AS DOUBLE) AS punct_ratio,
+                   CAST({quality} AS DOUBLE) AS quality,
+                   CASE WHEN {stopratio} >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred,
+                   list_min(list_transform({fingerprint_sh}, s -> {h31_s})) AS fingerprint
+            FROM documents_cdc
         """,
         "sort_topk": """
             SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
