@@ -73,6 +73,15 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in _plan(q)
 
 
+def test_cdc_to_profile_adds_no_exchange(spark):
+    """The fold->profile composition must keep exactly the fold's single
+    hash exchange: the text profile is a pure projection on top."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_cdc_to_profile(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_ivf_assign_is_shuffle_free(spark):
     """IVF cell assignment must be a pure projection over the corpus scan:
     no Window, no hashpartitioning Exchange; the only exchanges allowed are
