@@ -38,12 +38,22 @@ def change_streams(draw):
         if draw(st.booleans()) and len(base) > 2:
             start = draw(st.integers(0, len(base) - 2))
             stream += [dict(r) for r in base[start:]]
-        # rollback: truncate to rb, re-emit diverged branch covering every
-        # key touched above rb
-        if draw(st.booleans()) and len(base) > 3:
-            rb = draw(st.integers(1, len(base) - 2))
+        # rollbacks, possibly CHAINED (a rollback of the replayed branch —
+        # the hardest DCP case): each truncates to rb and re-emits a
+        # diverged branch covering every key touched above rb in the
+        # CURRENT stream (the DCP re-stream contract: the producer resends
+        # everything from the rollback point, so no key's latest state is
+        # lost by dropping invalidated events)
+        for _ in range(draw(st.integers(0, 2))):
+            data = [r for r in stream if r["op"] != "rollback"]
+            if len(data) < 4:
+                break
+            cur_max = max(r["seqno"] for r in data)
+            if cur_max < 3:
+                break
+            rb = draw(st.integers(1, cur_max - 1))
             touched = {}
-            for r in base:
+            for r in data:  # stream order == delivery order: last wins
                 if r["seqno"] > rb:
                     touched[(r["conv_id"], r["turn_idx"])] = r
             stream.append(dict(partition_id=p, seqno=rb, op="rollback", conv_id=None,
@@ -51,8 +61,9 @@ def change_streams(draw):
             for j, r in enumerate(touched.values()):
                 nr = dict(r)
                 nr["seqno"] = rb + 1 + j
+                nr["rev_no"] = nr["rev_no"] + 1000  # diverged revision line
                 if nr["op"] == "mutation":
-                    nr["text"] = f"rb-{nr['conv_id']}-{nr['turn_idx']}"
+                    nr["text"] = f"rb-{nr['conv_id']}-{nr['turn_idx']}-{nr['rev_no']}"
                 nr["rollback_point"] = None
                 stream.append(nr)
         for r in stream:
