@@ -134,6 +134,69 @@ def test_byte_threshold_trigger(spark, stream_case, tmp_path):
     assert lin["commit_epoch"].nunique() > 1, "byte threshold never split the log into epochs"
 
 
+def test_rollback_marker_in_separate_epoch(spark, tmp_path):
+    """The marker, the branch it invalidates, and the replacement branch
+    arrive in THREE different micro-batches: epoch1 merges the old branch,
+    epoch2 carries only the rollback marker (must LOWER the committed HWM),
+    epoch3 delivers the re-streamed branch (must pass the lowered HWM and
+    overwrite). Final state == sequential oracle."""
+    import numpy as np
+
+    from go_dcp_kafka_spark.gen import EPOCH_BASE
+
+    def rows(specs):
+        out = []
+        for i, (p, s, op, conv, turn, text, rbp) in enumerate(specs):
+            out.append(
+                dict(partition_id=p, seqno=s, delivery_seq=len(out), op=op,
+                     conv_id=conv, turn_idx=turn, rev_no=i, event_time=None,
+                     role=None, text=text, tool=None,
+                     ts=EPOCH_BASE + np.timedelta64(i, "us"), rollback_point=rbp)
+            )
+        df = pd.DataFrame(out)
+        df["partition_id"] = df["partition_id"].astype("int32")
+        df["seqno"] = df["seqno"].astype("int64")
+        df["turn_idx"] = df["turn_idx"].astype("Int32")
+        df["rev_no"] = df["rev_no"].astype("int64")
+        df["rollback_point"] = df["rollback_point"].astype("Int64")
+        df["event_time"] = pd.Series([pd.NaT] * len(df), dtype="datetime64[us]")
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        for c in ("role", "tool", "text", "conv_id", "op"):
+            df[c] = df[c].astype("string")  # all-None object cols would
+            # otherwise hit parquet as typed-null INT32, not string
+        return df
+
+    chunk1 = rows([
+        (0, 1, "mutation", "c0", 0, "old-1", None),
+        (0, 2, "mutation", "c0", 1, "old-2", None),
+        (0, 3, "mutation", "c0", 2, "old-3", None),  # will be rolled back
+    ])
+    chunk2 = rows([(0, 1, "rollback", None, None, None, 1)])  # truncate to seqno 1
+    chunk3 = rows([
+        (0, 2, "mutation", "c0", 1, "new-2", None),  # re-streamed branch
+        (0, 3, "mutation", "c0", 2, "new-3", None),
+    ])
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    delivery = 0
+    for i, chunk in enumerate([chunk1, chunk2, chunk3]):
+        chunk["delivery_seq"] = range(delivery, delivery + len(chunk))
+        delivery += len(chunk)
+        p = os.path.join(src, f"chunk-{i:05d}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i * 10,) * 2)
+
+    pipe = _fresh_pipeline(spark, tmp_path)
+    pipe.run_stream(src, str(tmp_path / "ck"), max_files_per_trigger=1)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in pipe.read_table().collect()
+    }
+    assert got == {("c0", 0): "old-1", ("c0", 1): "new-2", ("c0", 2): "new-3"}
+    # the committed HWM advanced with the NEW branch, not the old one
+    assert pipe.checkpoints.hwm_map()[0] == 3
+
+
 def test_batch_replay_hwm_survives_rollback_handoff(spark, stream_case, tmp_path):
     """The backfill->stream handoff: run_batch_replay's committed HWM must be
     the max ROLLBACK-SURVIVING seqno, not the raw max (which includes rolled-
