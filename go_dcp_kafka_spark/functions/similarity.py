@@ -198,18 +198,30 @@ def pairwise_topk_join(
     q_id: str = "q_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    sign_dims: int | None = 8,
+    n_corpus_hint: int | None = None,
 ) -> DataFrame:
     """Batch k-NN: for each query vector, top-k corpus matches within the
     same sign bucket. Equi-join on bucket (broadcast the query side when
     small), then per-query window top-k — the standard scale pattern for
-    embedding retrieval over a static corpus."""
+    embedding retrieval over a static corpus.
+
+    ``sign_dims=None`` derives the bucket width from corpus size
+    (dedup_text.auto_sign_dims) so per-bucket populations stay bounded as
+    the corpus grows — never leave it at 8 for a 10^10-vector corpus."""
     from pyspark.sql import Window
 
+    if sign_dims is None:
+        from go_dcp_kafka_spark.functions.dedup_text import auto_sign_dims
+
+        n = n_corpus_hint if n_corpus_hint is not None else corpus.count()
+        sign_dims = auto_sign_dims(n)
+
     qb = queries.select(
-        F.col(q_id), F.col(vec_col).alias("qv"), sign_bucket(F.col(vec_col)).alias("bucket")
+        F.col(q_id), F.col(vec_col).alias("qv"), sign_bucket(F.col(vec_col), sign_dims).alias("bucket")
     )
     cb = corpus.select(
-        F.col(c_id), F.col(vec_col).alias("cv"), sign_bucket(F.col(vec_col)).alias("bucket")
+        F.col(c_id), F.col(vec_col).alias("cv"), sign_bucket(F.col(vec_col), sign_dims).alias("bucket")
     )
     j = cb.join(F.broadcast(qb), "bucket").select(
         q_id, c_id, F.round(cosine_expr("qv", "cv"), 6).alias("cosine")
