@@ -71,6 +71,7 @@ class PipelineConfig:
     max_message_bytes: int | None = None  # MessageTooLargeError analog (producer_batch.go:146-185)
     log_level: str | None = None          # SetLogger analog (connector.go:289-294)
     source_format: str = "parquet"        # 'parquet' | 'json' (Kafka/Debezium-style lines)
+    sink_compression: str = "snappy"      # producer compression analog (client.go:202-218): snappy|gzip|zstd|lz4|none
 
     @classmethod
     def from_yaml(cls, path_or_text: str) -> PipelineConfig:
@@ -170,6 +171,7 @@ class PipelineBuilder:
             max_message_bytes=c.max_message_bytes,
             metrics=self._metrics,
             source_format=c.source_format,
+            sink_compression=c.sink_compression,
         )
         pipe.on_epoch_complete = self._on_epoch_complete
         pipe.config = c

@@ -84,6 +84,7 @@ class CdcPipeline:
         max_message_bytes: int | None = None,
         metrics=None,
         source_format: str = "parquet",
+        sink_compression: str = "snappy",
     ) -> None:
         """``merge_mode``: 'cow' rewrites touched buckets per epoch (read-
         optimized); 'mor' appends versioned deltas per epoch (write-optimized
@@ -93,7 +94,8 @@ class CdcPipeline:
         self.base_dir = base_dir
         self.tables = tables or {
             DEFAULT_TARGET: SnapshotTable(
-                spark, f"{base_dir}/{DEFAULT_TARGET}", KEY_COLS, num_buckets, schema=TRANSCRIPT_SCHEMA
+                spark, f"{base_dir}/{DEFAULT_TARGET}", KEY_COLS, num_buckets,
+                schema=TRANSCRIPT_SCHEMA, compression=sink_compression,
             )
         }
         self.checkpoints = CheckpointStore(f"{base_dir}/_checkpoints")

@@ -71,6 +71,11 @@ def _bucket_expr(key_cols: tuple[str, ...], num_buckets: int):
 
 
 class SnapshotTable:
+    #: Sink codecs, mirroring the reference's producer compression surface
+    #: (gzip/snappy/lz4/zstd — /root/reference/kafka/client.go:202-218 via
+    #: config.Kafka.Compression); 'none' disables.
+    COMPRESSIONS = ("snappy", "gzip", "zstd", "lz4", "none", "uncompressed")
+
     def __init__(
         self,
         spark: SparkSession,
@@ -78,12 +83,16 @@ class SnapshotTable:
         key_cols: tuple[str, ...] | list[str],
         num_buckets: int = 16,
         schema: T.StructType | None = None,
+        compression: str = "snappy",
     ) -> None:
         self.spark = spark
         self.path = path
         self.key_cols = tuple(key_cols)
         self.num_buckets = num_buckets
         self._default_schema = schema
+        if compression not in self.COMPRESSIONS:
+            raise ValueError(f"compression must be one of {self.COMPRESSIONS}, got {compression!r}")
+        self.compression = compression
         os.makedirs(path, exist_ok=True)
         self._tlock = threading.RLock()
         self._lock_depth = 0
@@ -264,7 +273,7 @@ class SnapshotTable:
             if touched:
                 (
                     combined.repartition(max(len(touched), 1), F.col("_bucket"))
-                    .write.partitionBy("_bucket")
+                    .write.option("compression", self.compression).partitionBy("_bucket")
                     .mode("overwrite")
                     .parquet(out_dir)
                 )
@@ -320,7 +329,7 @@ class SnapshotTable:
         rows = rows.withColumns({"_v": F.lit(new_version), "_bucket": bexpr})
         # upserts come from the key-grouped fold: already bucket-aligned, no
         # repartition (deltas are small; one file per bucket per task)
-        rows.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        rows.write.option("compression", self.compression).partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         # row count from the written files' parquet FOOTERS — driver-side
         # metadata read, zero extra Spark jobs (delta rows == LWW winners, so
         # this is the epoch's merged-key count)
@@ -350,7 +359,7 @@ class SnapshotTable:
         rel_dir = f"data/v{new_version:06d}"
         out_dir = os.path.join(self.path, rel_dir)
         bexpr = _bucket_expr(self.key_cols, self.num_buckets)
-        resolved.withColumn("_bucket", bexpr).write.partitionBy("_bucket").mode(
+        resolved.withColumn("_bucket", bexpr).write.option("compression", self.compression).partitionBy("_bucket").mode(
             "overwrite"
         ).parquet(out_dir)
         m["buckets"] = {}
@@ -380,7 +389,7 @@ class SnapshotTable:
         dfb = df.withColumn("_bucket", bexpr)
         if not aligned:
             dfb = dfb.repartition(self.num_buckets, F.col("_bucket"))
-        dfb.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        dfb.write.option("compression", self.compression).partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         m["buckets"] = {}
         for entry in os.listdir(out_dir):
             if entry.startswith("_bucket="):

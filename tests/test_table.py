@@ -110,3 +110,28 @@ def test_two_phase_agg_matches_plain(spark):
         for r in two_phase_agg(df, "conv_id", {"n": ("x", "count"), "mx": ("x", "max")}).collect()
     }
     assert plain == salted
+
+
+def test_sink_compression_codecs(spark, tmp_path):
+    """Producer-compression parity (client.go:202-218): the sink codec is
+    configurable per table and actually applied to the written files."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    rows = spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["k", "v"])
+    for codec, arrow_name in (("zstd", "ZSTD"), ("gzip", "GZIP"), ("snappy", "SNAPPY")):
+        t = SnapshotTable(spark, str(tmp_path / codec), ("k",), 4, compression=codec)
+        t.merge(rows, None, epoch_id="e0", n_updates=100)
+        f = glob.glob(os.path.join(str(tmp_path / codec), "data", "**", "*.parquet"), recursive=True)[0]
+        meta = pq.ParquetFile(f).metadata
+        assert meta.row_group(0).column(0).compression == arrow_name
+        assert t.read().count() == 100
+
+    import pytest
+
+    with pytest.raises(ValueError, match="compression"):
+        SnapshotTable(spark, str(tmp_path / "bad"), ("k",), 4, compression="brotli9000")
