@@ -140,6 +140,13 @@ class SnapshotTable:
         return m
 
     def _commit_manifest(self, manifest: dict[str, Any]) -> None:
+        # snapshot history: every committed manifest is also retained under
+        # _manifests/v{N}.json (the Iceberg snapshot-log analog) so past
+        # versions stay readable (time travel) until expire_snapshots
+        hist = os.path.join(self.path, "_manifests")
+        os.makedirs(hist, exist_ok=True)
+        with open(os.path.join(hist, f"v{manifest['version']:06d}.json"), "w") as f:
+            json.dump(manifest, f)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -168,11 +175,28 @@ class SnapshotTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
-    def read(self, manifest: dict | None = None) -> DataFrame:
-        """Current table state. With outstanding MOR deltas, resolves
+    def versions(self) -> list[int]:
+        """Committed snapshot versions still readable (time-travel log)."""
+        hist = os.path.join(self.path, "_manifests")
+        if not os.path.isdir(hist):
+            return []
+        return sorted(int(f[1:-5]) for f in os.listdir(hist) if f.startswith("v") and f.endswith(".json"))
+
+    def read(self, manifest: dict | None = None, version: int | None = None) -> DataFrame:
+        """Current table state — or, with ``version=N``, the state as of
+        snapshot N (Iceberg time-travel analog; valid for snapshots not yet
+        removed by expire_snapshots). With outstanding MOR deltas, resolves
         last-writer-wins by delta version (base rows are version 0 — any
         compaction clears deltas, so base < every live delta) and applies
         delete markers."""
+        if version is not None:
+            p = os.path.join(self.path, "_manifests", f"v{version:06d}.json")
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"snapshot v{version} not available (retained: {self.versions()})"
+                )
+            with open(p) as f:
+                manifest = json.load(f)
         m = manifest or self._load_manifest()
         base = self._read_base(m)
         ddirs = []
@@ -402,17 +426,33 @@ class SnapshotTable:
         return {"version": new_version}
 
     def expire_snapshots(self, keep_last: int = 2) -> None:
-        """GC data dirs not referenced by the current manifest (Iceberg
-        snapshot-expiry analog; the reference's checkpoint 'Clear' is a no-op
-        because topic compaction GCs for it — kafka_metadata.go:131-133)."""
+        """Iceberg snapshot-expiry analog: drop all but the last
+        ``keep_last`` snapshot manifests (the current one always survives),
+        then GC every data dir not reachable from a RETAINED manifest —
+        retained snapshots stay time-travel-readable, expired ones free
+        their exclusive files. (The reference's checkpoint 'Clear' is a
+        no-op because topic compaction GCs for it —
+        kafka_metadata.go:131-133.)"""
         m = self._load_manifest()
-        live = {d.split("/")[1] for d in m["buckets"].values()}
-        live |= {d.split("/")[1] for d in m.get("deltas", [])}
+        hist = os.path.join(self.path, "_manifests")
+        retained = [m]
+        if os.path.isdir(hist):
+            snaps = sorted(f for f in os.listdir(hist) if f.startswith("v") and f.endswith(".json"))
+            for fname in snaps[:-keep_last] if keep_last else snaps:
+                if int(fname[1:-5]) != m["version"]:
+                    os.remove(os.path.join(hist, fname))
+            for fname in sorted(os.listdir(hist)):
+                if fname.startswith("v") and fname.endswith(".json"):
+                    with open(os.path.join(hist, fname)) as f:
+                        retained.append(json.load(f))
+        live = set()
+        for man in retained:
+            live |= {d.split("/")[1] for d in man["buckets"].values()}
+            live |= {d.split("/")[1] for d in man.get("deltas", [])}
         data_root = os.path.join(self.path, "data")
         if not os.path.isdir(data_root):
             return
-        versions = sorted(os.listdir(data_root))
-        for v in versions[:-keep_last] if keep_last else versions:
+        for v in sorted(os.listdir(data_root)):
             if v not in live:
                 shutil.rmtree(os.path.join(data_root, v), ignore_errors=True)
 

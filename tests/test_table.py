@@ -135,3 +135,32 @@ def test_sink_compression_codecs(spark, tmp_path):
 
     with pytest.raises(ValueError, match="compression"):
         SnapshotTable(spark, str(tmp_path / "bad"), ("k",), 4, compression="brotli9000")
+
+
+def test_time_travel_reads(spark, tmp_path):
+    """Iceberg time-travel analog: every commit retains its snapshot
+    manifest; read(version=N) reproduces the state as of snapshot N;
+    expire_snapshots keeps the last K snapshots readable and GCs the rest."""
+    import pytest
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tt"), ("k",), 4)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), None, epoch_id="e1")
+    t.merge(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]), None, epoch_id="e2")
+    t.merge(spark.createDataFrame([(1, "A")], ["k", "v"]), None, epoch_id="e3")
+
+    def state(df):
+        return {r["k"]: r["v"] for r in df.collect()}
+
+    assert t.versions() == [1, 2, 3]
+    assert state(t.read(version=1)) == {1: "a", 2: "b"}
+    assert state(t.read(version=2)) == {1: "a", 2: "B", 3: "c"}
+    assert state(t.read(version=3)) == state(t.read()) == {1: "A", 2: "B", 3: "c"}
+
+    t.expire_snapshots(keep_last=2)
+    assert t.versions() == [2, 3]
+    assert state(t.read(version=2)) == {1: "a", 2: "B", 3: "c"}  # still readable
+    with pytest.raises(ValueError, match="snapshot v1"):
+        t.read(version=1)
+    assert state(t.read()) == {1: "A", 2: "B", 3: "c"}
