@@ -182,13 +182,24 @@ class SnapshotTable:
             return []
         return sorted(int(f[1:-5]) for f in os.listdir(hist) if f.startswith("v") and f.endswith(".json"))
 
-    def read(self, manifest: dict | None = None, version: int | None = None) -> DataFrame:
-        """Current table state — or, with ``version=N``, the state as of
-        snapshot N (Iceberg time-travel analog; valid for snapshots not yet
-        removed by expire_snapshots). With outstanding MOR deltas, resolves
+    def read(
+        self,
+        manifest: dict | None = None,
+        version: int | None = None,
+        as_of_epoch: str | None = None,
+    ) -> DataFrame:
+        """Current table state — or, with ``version=N`` /
+        ``as_of_epoch=<epoch id>``, the state as of that snapshot (Iceberg
+        time-travel analog; valid for snapshots not yet removed by
+        expire_snapshots). With outstanding MOR deltas, resolves
         last-writer-wins by delta version (base rows are version 0 — any
         compaction clears deltas, so base < every live delta) and applies
         delete markers."""
+        if as_of_epoch is not None:
+            committed = self._load_manifest()["committed_epochs"]
+            if str(as_of_epoch) not in committed:
+                raise ValueError(f"epoch {as_of_epoch!r} was never committed to this table")
+            version = int(committed[str(as_of_epoch)])
         if version is not None:
             p = os.path.join(self.path, "_manifests", f"v{version:06d}.json")
             if not os.path.exists(p):

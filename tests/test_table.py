@@ -164,3 +164,17 @@ def test_time_travel_reads(spark, tmp_path):
     with pytest.raises(ValueError, match="snapshot v1"):
         t.read(version=1)
     assert state(t.read()) == {1: "A", 2: "B", 3: "c"}
+
+
+def test_time_travel_by_epoch(spark, tmp_path):
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "te"), ("k",), 4)
+    t.merge(spark.createDataFrame([(1, "a")], ["k", "v"]), None, epoch_id="run:1")
+    t.merge(spark.createDataFrame([(1, "b")], ["k", "v"]), None, epoch_id="run:2")
+    assert {r["v"] for r in t.read(as_of_epoch="run:1").collect()} == {"a"}
+    assert {r["v"] for r in t.read(as_of_epoch="run:2").collect()} == {"b"}
+    import pytest
+
+    with pytest.raises(ValueError, match="never committed"):
+        t.read(as_of_epoch="run:99")
