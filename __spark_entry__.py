@@ -394,8 +394,8 @@ def q_media_features(spark, sf_dir):
     source text."""
     from go_dcp_kafka_spark.functions.multimodal import extract_features_scalar, media_from_documents
 
-    # coalesce: binary payloads want few large partitions — spawning a
-    # Python worker per tiny partition dominates at this row count
+    # _spread: the fake kernel is per-row CPU (md5), so fan the one small
+    # input file across all cores before the mapInPandas stage
     media = media_from_documents(_spread(_read(spark, sf_dir, "documents")))
     return extract_features_scalar(media, use_fake=True).orderBy("media_id")
 
@@ -406,6 +406,8 @@ def q_media_frames(spark, sf_dir):
     oracle can recompute them from the text byte count."""
     from go_dcp_kafka_spark.functions.multimodal import media_from_documents, sample_frames
 
+    # coalesce: frame fan-out (1->N binary rows) wants few large partitions —
+    # spawning a Python worker per tiny partition dominates at this row count
     media = media_from_documents(_read(spark, sf_dir, "documents")).coalesce(4)
     return (
         sample_frames(media, use_fake=True)

@@ -139,12 +139,21 @@ def main() -> None:
         for f in sorted(os.listdir(log_dir))[:2]:
             if f.endswith(".parquet"):
                 shutil.copy2(os.path.join(log_dir, f), warm_src)
-        wpipe = CdcPipeline(spark, os.path.join(work, "tbl_warm"), num_buckets=n_buckets, run_id="warm")
-        wpipe.run_stream(warm_src, os.path.join(work, "ckpt_w"), max_files_per_trigger=2)
+        for wmode in ("cow", "mor"):
+            wpipe = CdcPipeline(
+                spark, os.path.join(work, f"tbl_warm_{wmode}"), num_buckets=n_buckets,
+                run_id=f"warm-{wmode}", merge_mode=wmode,
+            )
+            wpipe.run_stream(warm_src, os.path.join(work, f"ckpt_w_{wmode}"), max_files_per_trigger=2)
 
         # ---- streaming replay, copy-on-write merges ------------------------
+        # (explicit cow: the pipeline's streaming DEFAULT is mor; this row
+        # measures the read-optimized mode on purpose)
         t0 = time.time()
-        spipe = CdcPipeline(spark, os.path.join(work, "tbl_stream"), num_buckets=n_buckets, run_id="bench-s")
+        spipe = CdcPipeline(
+            spark, os.path.join(work, "tbl_stream"), num_buckets=n_buckets,
+            run_id="bench-s", merge_mode="cow",
+        )
         spipe.run_stream(log_dir, os.path.join(work, "ckpt"), max_files_per_trigger=32)
         stream_sec = time.time() - t0
 

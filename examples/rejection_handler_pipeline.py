@@ -55,7 +55,7 @@ def main() -> None:
         ),
         # tombstones carry null text by design — let them through
         validate=F.col("text").isNull() | (F.col("turn_idx") < 30),
-        max_message_bytes=21,  # MessageTooLargeError analog
+        max_message_bytes=165,  # MessageTooLargeError analog (whole serialized message)
     )
     pipe.run_stream(log_dir, tempfile.mkdtemp(prefix="ckpt_"), max_files_per_trigger=2)
 

@@ -58,8 +58,10 @@ class PipelineConfig:
     source_dir: str = "./change_log"
     checkpoint_location: str = "./spark_ckpt"
     num_buckets: int = 16
-    merge_mode: str = "cow"               # 'cow' | 'mor'
+    merge_mode: str | None = None         # 'cow' | 'mor' | None = auto (streaming -> mor)
     compact_every: int | None = None
+    expire_every: int | None = None       # run snapshot expiry each N epochs (None = manual)
+    keep_snapshots: int = 2               # snapshots retained by expiry (time-travel window)
     max_files_per_trigger: int = 2        # producerBatchSize analog (count threshold)
     max_bytes_per_trigger: int | None = None  # producerBatchBytes analog (size threshold)
     trigger_seconds: float | None = None  # producerBatchTickerDuration analog (10s default there)
@@ -155,8 +157,18 @@ class PipelineBuilder:
             from go_dcp_kafka_spark.functions.mapper import route_mapper
 
             mapper = route_mapper(c.routing)
-        if c.log_level is not None or self._logger is not None:
-            set_logger(c.log_level or "WARN", spark=spark, logger=self._logger)
+        if c.log_level is not None:
+            set_logger(c.log_level, spark=spark, logger=self._logger)
+        elif self._logger is not None:
+            # caller supplied a pre-configured logger with no explicit config
+            # level: attach a handler if missing but do NOT touch its level
+            # (ADVICE r2: build() used to silently reset it to WARN)
+            import logging
+
+            if not self._logger.handlers:
+                h = logging.StreamHandler()
+                h.setFormatter(logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s"))
+                self._logger.addHandler(h)
         pipe = CdcPipeline(
             spark,
             c.base_dir,
@@ -168,6 +180,8 @@ class PipelineBuilder:
             strict_routing=c.strict_routing,
             merge_mode=c.merge_mode,
             compact_every=c.compact_every,
+            expire_every=c.expire_every,
+            keep_snapshots=c.keep_snapshots,
             max_message_bytes=c.max_message_bytes,
             metrics=self._metrics,
             source_format=c.source_format,

@@ -223,6 +223,51 @@ def jaccard_verify_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over verified near-dup PAIRS -> duplicate
+    CLUSTERS (doc_id, cluster_id = min doc_id in the component). Real
+    dedup pipelines delete clusters (keep one doc per component), not pairs.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels; converges in O(component diameter)
+    rounds. Each round is ONE equi-join + ONE aggregation over the EDGE set
+    (candidate pairs — a tiny fraction of the corpus after LSH + verify),
+    never over the corpus; ``localCheckpoint`` truncates lineage so the plan
+    does not grow per round (the standard Spark connected-components loop —
+    no GraphFrames dependency). Near-dup components are overwhelmingly
+    small/star-shaped (a cluster of copies of one source doc), so rounds
+    needed is small; ``max_iter`` bounds the adversarial chain case.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .unionByName(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select("u", F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"))
+            .localCheckpoint()  # eager: also lets the driver test convergence cheaply
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     id_col: str = "vec_id",

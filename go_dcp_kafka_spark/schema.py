@@ -102,6 +102,15 @@ REJECTION_SCHEMA = T.StructType(
 REJECT_VALIDATION = "validation"
 REJECT_ROUTING = "routing"
 REJECT_OVERSIZE = "oversize"
+REJECT_DECODE = "decode"  # malformed wire record (JSON line that fails to parse)
+
+#: Name of the Spark corrupt-record column on the JSON wire path. A line
+#: that fails to parse lands here verbatim (PERMISSIVE mode) and is
+#: dead-lettered with error_class='decode' instead of failing the epoch —
+#: the reference classifies per-message produce errors the same way
+#: (/root/reference/kafka/producer/producer_batch.go:146-185); its
+#: no-handler mode panics (connector.go:132-138), ours always has the DLQ.
+CORRUPT_COL = "_corrupt_record"
 
 #: Key columns of the transcripts table (the MERGE ON clause).
 KEY_COLS = ("conv_id", "turn_idx")

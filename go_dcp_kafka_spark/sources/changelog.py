@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from go_dcp_kafka_spark.schema import CHANGE_EVENT_SCHEMA
+from go_dcp_kafka_spark.schema import CHANGE_EVENT_SCHEMA, CORRUPT_COL
 
 
 def read_change_log(spark: SparkSession, path: str) -> DataFrame:
@@ -56,13 +56,28 @@ def stream_change_log(
 # inferred — so schema evolution (absent ``tool`` key) backfills nulls
 # exactly like the parquet path.
 
-_JSON_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"}
+_JSON_TS_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    # decode-failure dead-lettering: malformed lines land verbatim in
+    # CORRUPT_COL (PERMISSIVE) and CdcPipeline routes them to _rejections
+    # with error_class='decode' — one poison message must not fail the epoch
+    "mode": "PERMISSIVE",
+    "columnNameOfCorruptRecord": CORRUPT_COL,
+}
+
+#: Read schema for the JSON wire: envelope + the corrupt-record capture.
+#: (fresh StructType — StructType.add would mutate CHANGE_EVENT_SCHEMA)
+from pyspark.sql import types as _T  # noqa: E402
+
+JSON_WIRE_SCHEMA = _T.StructType(
+    [*CHANGE_EVENT_SCHEMA.fields, _T.StructField(CORRUPT_COL, _T.StringType(), True)]
+)
 
 
 def read_change_log_json(spark: SparkSession, path: str) -> DataFrame:
     """Batch read of a JSON-lines change log (same envelope, wire format
     swapped). Downstream plan is identical to the parquet source."""
-    return spark.read.schema(CHANGE_EVENT_SCHEMA).options(**_JSON_TS_OPTS).json(path)
+    return spark.read.schema(JSON_WIRE_SCHEMA).options(**_JSON_TS_OPTS).json(path)
 
 
 def stream_change_log_json(
@@ -72,7 +87,7 @@ def stream_change_log_json(
     max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming tail of a JSON-lines change log."""
-    reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA).options(**_JSON_TS_OPTS)
+    reader = spark.readStream.schema(JSON_WIRE_SCHEMA).options(**_JSON_TS_OPTS)
     if max_bytes_per_trigger:
         reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
     elif max_files_per_trigger:

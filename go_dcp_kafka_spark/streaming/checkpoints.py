@@ -20,13 +20,22 @@ import os
 
 import pandas as pd
 
+from go_dcp_kafka_spark.table.snapshot import _epoch_num
+
 _STATE = "checkpoints.parquet"
 _META = "_ckpt_meta.json"
 
 
 class CheckpointStore:
-    def __init__(self, path: str) -> None:
+    #: Retained epoch ids in the meta file; older numeric epochs are covered
+    #: by the per-stream watermark (same bounded-metadata treatment as
+    #: SnapshotTable — a long stream must not serialize O(total-epochs) JSON
+    #: per commit).
+    EPOCH_RETENTION = 64
+
+    def __init__(self, path: str, epoch_retention: int = EPOCH_RETENTION) -> None:
         self.path = path
+        self.epoch_retention = max(int(epoch_retention), 1)
         os.makedirs(path, exist_ok=True)
 
     def _state_path(self) -> str:
@@ -62,12 +71,31 @@ class CheckpointStore:
         cur = self.load()
         return dict(zip(cur["partition_id"].astype(int), cur["hwm_seqno"].astype(int)))
 
-    def committed_epochs(self) -> set[str]:
+    def _meta(self) -> dict:
         p = os.path.join(self.path, _META)
         if not os.path.exists(p):
-            return set()
+            return {"committed_epochs": [], "watermarks": {}}
         with open(p) as f:
-            return set(json.load(f)["committed_epochs"])
+            meta = json.load(f)
+        meta.setdefault("watermarks", {})
+        return meta
+
+    def committed_epochs(self) -> set[str]:
+        """Epoch ids in the retained window (recent commits). Use
+        ``is_committed`` for the exactly-once check — it also consults the
+        per-stream watermark covering evicted entries."""
+        return set(self._meta()["committed_epochs"])
+
+    def is_committed(self, epoch_id: str) -> bool:
+        meta = self._meta()
+        epoch_id = str(epoch_id)
+        if epoch_id in meta["committed_epochs"]:
+            return True
+        stream, n = _epoch_num(epoch_id)
+        if stream is None:
+            return False
+        wm = meta["watermarks"].get(stream)
+        return wm is not None and n <= int(wm)
 
     def commit(self, dirty: pd.DataFrame, epoch_id: str) -> None:
         """Upsert ONLY the dirty partitions (write elision) and record the
@@ -77,8 +105,7 @@ class CheckpointStore:
         truncation must persist so later-delivered replay-branch events
         (seqno <= old hwm) are not misclassified as duplicates."""
         epoch_id = str(epoch_id)
-        epochs = self.committed_epochs()
-        if epoch_id in epochs:
+        if self.is_committed(epoch_id):
             return
         cur = self.load()
         dirty = dirty[["partition_id", "hwm_seqno"]].copy()
@@ -90,8 +117,22 @@ class CheckpointStore:
         tmp = self._state_path() + ".tmp"
         merged.to_parquet(tmp, index=False)
         os.replace(tmp, self._state_path())
-        epochs.add(epoch_id)
+        meta = self._meta()
+        epochs = meta["committed_epochs"]
+        epochs.append(epoch_id)
+        stream, n = _epoch_num(epoch_id)
+        if stream is not None:
+            wm = meta["watermarks"].get(stream)
+            meta["watermarks"][stream] = n if wm is None else max(int(wm), n)
+        # bounded window: evict oldest numeric entries (watermark covers
+        # them); non-numeric one-shot ids stay pinned
+        if len(epochs) > self.epoch_retention:
+            keep_tail, pinned = [], []
+            for e in epochs:
+                (pinned if _epoch_num(e)[0] is None else keep_tail).append(e)
+            n_tail = max(self.epoch_retention - len(pinned), 0)
+            meta["committed_epochs"] = pinned + (keep_tail[-n_tail:] if n_tail else [])
         mtmp = os.path.join(self.path, _META + ".tmp")
         with open(mtmp, "w") as f:
-            json.dump({"committed_epochs": sorted(epochs)}, f)
+            json.dump(meta, f)
         os.replace(mtmp, os.path.join(self.path, _META))

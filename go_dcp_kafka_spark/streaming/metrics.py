@@ -28,6 +28,12 @@ CONNECTOR_LATENCY_MS = "kafka_connector_latency_ms_current"
 BATCH_PRODUCE_LATENCY_MS = "batch_produce_latency_ms_current"
 INPUT_ROWS = "connector_input_rows_current"
 ROWS_PER_SEC = "connector_processed_rows_per_second_current"
+#: Backlog in the source's file unit; bytes published separately — mixing
+#: the two units into one gauge made the number meaningless (ADVICE r2).
+LAG_FILES = "connector_lag_files_current"
+LAG_BYTES = "connector_lag_bytes_current"
+#: Legacy name: mirrors LAG_FILES when the source reports files, else
+#: LAG_BYTES — single-unit, never a files+bytes sum.
 LAG_BATCHES = "connector_lag_batches_current"
 
 
@@ -78,14 +84,22 @@ class ConnectorQueryListener(StreamingQueryListener):
         self.registry.set(INPUT_ROWS, float(p.get("numInputRows", 0)))
         if p.get("processedRowsPerSecond") is not None:
             self.registry.set(ROWS_PER_SEC, float(p["processedRowsPerSecond"]))
-        # lag: unconsumed backlog reported by the (file/kafka) source
-        lag = 0.0
+        # lag: unconsumed backlog reported by the (file/kafka) source —
+        # files and bytes are DIFFERENT units, published as separate gauges
+        lag_files = lag_bytes = None
         for src in p.get("sources", []):
             m = src.get("metrics") or {}
-            for k in ("numFilesOutstanding", "numBytesOutstanding"):
-                if k in m:
-                    lag += float(m[k])
-        self.registry.set(LAG_BATCHES, lag)
+            if "numFilesOutstanding" in m:
+                lag_files = (lag_files or 0.0) + float(m["numFilesOutstanding"])
+            if "numBytesOutstanding" in m:
+                lag_bytes = (lag_bytes or 0.0) + float(m["numBytesOutstanding"])
+        if lag_files is not None:
+            self.registry.set(LAG_FILES, lag_files)
+        if lag_bytes is not None:
+            self.registry.set(LAG_BYTES, lag_bytes)
+        legacy = lag_files if lag_files is not None else lag_bytes
+        if legacy is not None:
+            self.registry.set(LAG_BATCHES, legacy)
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass

@@ -34,10 +34,12 @@ from go_dcp_kafka_spark.operators.fold import (
     lww_winners,
 )
 from go_dcp_kafka_spark.schema import (
+    CORRUPT_COL,
     KEY_COLS,
     OP_MUTATION,
     OP_ROLLBACK,
     PAYLOAD_COLS,
+    REJECT_DECODE,
     REJECT_OVERSIZE,
     REJECT_ROUTING,
     REJECT_VALIDATION,
@@ -79,17 +81,28 @@ class CdcPipeline:
         num_buckets: int = 16,
         run_id: str = "run",
         strict_routing: bool = False,
-        merge_mode: str = "cow",
+        merge_mode: str | None = None,
         compact_every: int | None = None,
         max_message_bytes: int | None = None,
         metrics=None,
         source_format: str = "parquet",
         sink_compression: str = "snappy",
+        expire_every: int | None = None,
+        keep_snapshots: int = 2,
     ) -> None:
         """``merge_mode``: 'cow' rewrites touched buckets per epoch (read-
         optimized); 'mor' appends versioned deltas per epoch (write-optimized
         — the 100 TB frequent-epoch path) with LWW resolution at read and
-        compaction every ``compact_every`` epochs (None = only on demand)."""
+        compaction every ``compact_every`` epochs (None = only on demand).
+        Default (None) = 'mor' for streaming epochs: per-epoch COW rewrite
+        cost does not amortize at streaming's small-epoch cadence (it is the
+        one component whose cost is independent of batch size), so MOR is
+        the documented streaming default; pass 'cow' explicitly for
+        read-optimized tables fed by large, infrequent batches.
+
+        ``expire_every``: run ``expire_snapshots(keep_last=keep_snapshots)``
+        on every table each N epochs — without it a long-running stream
+        accumulates one snapshot manifest per epoch forever."""
         self.spark = spark
         self.base_dir = base_dir
         self.tables = tables or {
@@ -105,10 +118,13 @@ class CdcPipeline:
         self.validate = validate
         self.run_id = run_id
         self.strict_routing = strict_routing
-        if merge_mode not in ("cow", "mor"):
-            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
+        if merge_mode not in ("cow", "mor", None):
+            raise ValueError(f"merge_mode must be 'cow', 'mor', or None (auto), got {merge_mode!r}")
         self.merge_mode = merge_mode
         self.compact_every = compact_every
+        self.expire_every = expire_every
+        self.keep_snapshots = keep_snapshots
+        self._epochs_since_expire = 0
         #: MessageTooLargeError analog (producer_batch.go:146-185): rows whose
         #: text exceeds this byte size dead-letter with error_class='oversize'
         #: instead of poisoning the merge.
@@ -133,6 +149,24 @@ class CdcPipeline:
         epoch_key = f"{self.run_id}:{epoch_id}"
         batch_df = batch_df.persist()
         try:
+            # ---- decode dead-lettering (JSON wire): malformed lines carry
+            # the raw text in CORRUPT_COL; they go to _rejections with
+            # error_class='decode' and the epoch still commits -------------
+            if CORRUPT_COL in batch_df.columns:
+                corrupt = batch_df.filter(F.col(CORRUPT_COL).isNotNull())
+                if not corrupt.isEmpty():
+                    (
+                        corrupt.select(
+                            F.lit(DEFAULT_TARGET).alias("target"),
+                            F.col("conv_id"),
+                            F.col("turn_idx"),
+                            F.lit("malformed change event").alias("error"),
+                            F.lit(REJECT_DECODE).alias("error_class"),
+                            F.col(CORRUPT_COL).alias("value"),  # the raw wire line
+                            F.lit(str(epoch_id)).alias("commit_epoch_key"),
+                        ).write.mode("append").parquet(self.rejections_dir)
+                    )
+                batch_df = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
             # ---- committed HWM state (driver-side map, <=1024 partitions) -
             hwm0 = self.checkpoints.hwm_map()
 
@@ -205,20 +239,43 @@ class CdcPipeline:
             fresh = hwm_filter(live, hwm_df)
 
             # ---- mapper surface (P1) + validation/dead-letter (S7) --------
+            # one tagged pass for every per-row guard (validation precedence
+            # over oversize), then ONE split — at most 2 extra jobs per epoch
+            # however many guards are configured, not 2 per guard
             mapped = self.mapper(fresh) if self.mapper is not None else fresh
-            if self.validate is not None:
-                invalid = mapped.filter(~F.coalesce(self.validate, F.lit(False)))
-                self._reject(invalid, "validation failed", epoch_id, REJECT_VALIDATION)
-                mapped = mapped.filter(F.coalesce(self.validate, F.lit(False)))
+            guard = F.lit(None).cast("string")
             if self.max_message_bytes is not None:
-                too_big = F.octet_length(F.coalesce(F.col("text"), F.lit(""))) > self.max_message_bytes
-                self._reject(
-                    mapped.filter(too_big),
-                    f"message too large (> {self.max_message_bytes} bytes)",
-                    epoch_id,
-                    REJECT_OVERSIZE,
+                # whole-message size, like the reference (producer_batch.go:
+                # 196-207 sizes the full Kafka message, not one field): the
+                # serialized key+payload struct a sink would actually send
+                msg_bytes = F.octet_length(
+                    F.to_json(F.struct(*[F.col(c) for c in (*KEY_COLS, *PAYLOAD_COLS)]))
                 )
-                mapped = mapped.filter(~too_big)
+                guard = F.when(msg_bytes > self.max_message_bytes, F.lit(REJECT_OVERSIZE)).otherwise(guard)
+            if self.validate is not None:
+                guard = F.when(
+                    ~F.coalesce(self.validate, F.lit(False)), F.lit(REJECT_VALIDATION)
+                ).otherwise(guard)
+            if self.validate is not None or self.max_message_bytes is not None:
+                tagged = mapped.withColumn("_err_class", guard)
+                bad = tagged.filter(F.col("_err_class").isNotNull())
+                if not bad.isEmpty():
+                    err_msg = F.when(
+                        F.col("_err_class") == REJECT_OVERSIZE,
+                        F.lit(f"message too large (> {self.max_message_bytes} bytes)"),
+                    ).otherwise(F.lit("validation failed"))
+                    (
+                        bad.select(
+                            F.lit(DEFAULT_TARGET).alias("target"),
+                            F.col("conv_id"),
+                            F.col("turn_idx"),
+                            err_msg.alias("error"),
+                            F.col("_err_class").alias("error_class"),
+                            F.to_json(F.struct(*[F.col(c) for c in PAYLOAD_COLS])).alias("value"),
+                            F.lit(str(epoch_id)).alias("commit_epoch_key"),
+                        ).write.mode("append").parquet(self.rejections_dir)
+                    )
+                mapped = tagged.filter(F.col("_err_class").isNull()).drop("_err_class")
 
             # ---- route (P4) + LWW + MERGE (S3) ----------------------------
             # upper bound on update keys (pre-LWW fresh count) — drives the
@@ -234,7 +291,7 @@ class CdcPipeline:
                 self.metrics.set(BATCH_PRODUCE_LATENCY_MS, (time.time() - t_merge) * 1000.0)
 
             # ---- checkpoint commit, strictly after the durable merge ------
-            if epoch_key not in self.checkpoints.committed_epochs():
+            if not self.checkpoints.is_committed(epoch_key):
                 dirty = {
                     int(r.partition_id): int(r.last_seqno)
                     for r in stats_pd.itertuples()
@@ -255,6 +312,14 @@ class CdcPipeline:
                 for c in ("n_mutations", "n_deletions", "n_expirations", "n_duplicates_dropped"):
                     lin[c] = lin[c].fillna(0).astype("int64")
                 self.lineage.append(lin, epoch_key)
+            # ---- snapshot retention (ADVICE r2): a per-epoch snapshot log
+            # with no retention grows forever on a long-running stream ------
+            if self.expire_every:
+                self._epochs_since_expire += 1
+                if self._epochs_since_expire >= self.expire_every:
+                    for table in self.tables.values():
+                        table.expire_snapshots(keep_last=self.keep_snapshots)
+                    self._epochs_since_expire = 0
             self.last_stats = {"epoch": epoch_key, "n_merged": n_merged}
             if self.on_epoch_complete is not None:
                 self.on_epoch_complete(self.last_stats)
@@ -276,11 +341,14 @@ class CdcPipeline:
         for name, table in self.tables.items():
             part = mapped.filter(F.col("target") == name).drop("target") if has_target else mapped
             winners = lww_winners(part).persist()
+            # streaming default is MOR (see __init__ docstring): merge cost ∝
+            # batch size, per-epoch COW rewrite amortizes only in batch mode
+            mode = self.merge_mode or "mor"
             try:
                 upserts = winners.filter(F.col("op") == OP_MUTATION).select(*KEY_COLS, *PAYLOAD_COLS)
                 deletes = winners.filter(F.col("op") != OP_MUTATION).select(*KEY_COLS)
                 ek = epoch_key if len(self.tables) == 1 else f"{epoch_key}@{name}"
-                merge_fn = table.merge_mor if self.merge_mode == "mor" else table.merge
+                merge_fn = table.merge_mor if mode == "mor" else table.merge
                 res = merge_fn(upserts, deletes, epoch_id=ek, n_updates=n_upper)
                 if not res.get("skipped"):
                     # merged-key count comes back from the merge itself (COW:
@@ -288,7 +356,7 @@ class CdcPipeline:
                     # metadata) — no extra count job per epoch
                     n = res.get("n_upserts")
                     total += int(n) if n is not None else winners.count()
-                if self.merge_mode == "mor" and self.compact_every:
+                if mode == "mor" and self.compact_every:
                     self._epochs_since_compact += 1
                     if self._epochs_since_compact >= self.compact_every:
                         table.compact()
@@ -346,6 +414,21 @@ class CdcPipeline:
         (one shuffle, no per-epoch overhead)."""
         read_fn = read_change_log_json if self.source_format == "json" else read_change_log
         events = read_fn(self.spark, source_dir)
+        if CORRUPT_COL in events.columns:
+            # decode dead-lettering, batch path (same DLQ as apply_batch)
+            (
+                events.filter(F.col(CORRUPT_COL).isNotNull())
+                .select(
+                    F.lit(DEFAULT_TARGET).alias("target"),
+                    F.col("conv_id"),
+                    F.col("turn_idx"),
+                    F.lit("malformed change event").alias("error"),
+                    F.lit(REJECT_DECODE).alias("error_class"),
+                    F.col(CORRUPT_COL).alias("value"),
+                    F.lit(str(epoch_id)).alias("commit_epoch_key"),
+                ).write.mode("append").parquet(self.rejections_dir)
+            )
+            events = events.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
         markers = extract_rollback_markers(events)
         live = apply_rollbacks(events, markers)
         winners = lww_winners(live)

@@ -40,6 +40,7 @@ import json
 import os
 import shutil
 import threading
+import uuid
 from contextlib import contextmanager
 from typing import Any
 
@@ -50,16 +51,60 @@ from pyspark.sql import types as T
 _MANIFEST = "_manifest.json"
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed a manifest version between this writer's
+    snapshot load and its commit attempt. The mutating operation is retried
+    against the fresh manifest (optimistic concurrency — the cross-host
+    analog of the reference's broker-serialized metadata writes,
+    /root/reference/kafka/metadata/kafka_metadata.go:26-46)."""
+
+
+_OCC_MAX_RETRIES = 5
+
+
 def _locked(fn):
-    """Run a table-mutating method under the writer lock."""
+    """Run a table-mutating method under the writer lock, retrying on
+    optimistic-concurrency conflicts.
+
+    Two layers of writer coordination:
+    - ``flock`` (``_write_lock``): fast-path serialization for threads and
+      processes on ONE host.
+    - version CAS at commit (``_commit_manifest``): the correctness backstop
+      when the table lives on shared storage where flock does not span hosts
+      (NFS, object-store FUSE). A losing writer re-runs the whole mutation
+      against the fresh manifest — its idempotence check then skips epochs
+      the winner already committed, so every epoch lands exactly once.
+      Data files carry a unique per-attempt token, so a losing attempt's
+      files are never referenced (and are GC'd by expire_snapshots).
+    """
 
     def wrapper(self, *args, **kwargs):
         with self._write_lock():
-            return fn(self, *args, **kwargs)
+            for attempt in range(_OCC_MAX_RETRIES):
+                try:
+                    return fn(self, *args, **kwargs)
+                except CommitConflictError:
+                    if attempt == _OCC_MAX_RETRIES - 1:
+                        raise
 
     wrapper.__name__ = fn.__name__
     wrapper.__doc__ = fn.__doc__
     return wrapper
+
+
+def _epoch_num(epoch_id: str) -> tuple[str | None, int | None]:
+    """Split an epoch key into (watermark stream, numeric epoch).
+
+    Keys look like ``{run_id}:{batch_id}`` or ``{run_id}:{batch_id}@{table}``
+    (runner.py). The numeric batch id is monotonically increasing per run
+    (Spark's micro-batch ids), so ``(run_id[@table], batch_id)`` supports a
+    per-stream high watermark. Non-numeric epochs (``batch-0``) return
+    (None, None) and are never evicted."""
+    base, _, table = str(epoch_id).partition("@")
+    head, sep, tail = base.rpartition(":")
+    if sep and tail.lstrip("-").isdigit():
+        return (head + ("@" + table if table else ""), int(tail))
+    return (None, None)
 
 
 def _bucket_expr(key_cols: tuple[str, ...], num_buckets: int):
@@ -76,6 +121,14 @@ class SnapshotTable:
     #: config.Kafka.Compression); 'none' disables.
     COMPRESSIONS = ("snappy", "gzip", "zstd", "lz4", "none", "uncompressed")
 
+    #: Retained ``committed_epochs`` entries per table. Idempotence only
+    #: needs to recognize the RETRY horizon — Spark re-delivers at most the
+    #: last uncommitted micro-batch — plus the per-stream watermark below;
+    #: retaining a window (not all history) keeps the manifest O(1) in total
+    #: epochs, so per-commit driver JSON work stays flat at the 10^10-event /
+    #: millions-of-epochs design point instead of growing O(epochs²).
+    EPOCH_RETENTION = 64
+
     def __init__(
         self,
         spark: SparkSession,
@@ -84,6 +137,7 @@ class SnapshotTable:
         num_buckets: int = 16,
         schema: T.StructType | None = None,
         compression: str = "snappy",
+        epoch_retention: int = EPOCH_RETENTION,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -93,6 +147,7 @@ class SnapshotTable:
         if compression not in self.COMPRESSIONS:
             raise ValueError(f"compression must be one of {self.COMPRESSIONS}, got {compression!r}")
         self.compression = compression
+        self.epoch_retention = max(int(epoch_retention), 1)
         os.makedirs(path, exist_ok=True)
         self._tlock = threading.RLock()
         self._lock_depth = 0
@@ -131,28 +186,92 @@ class SnapshotTable:
                 "buckets": {},
                 "deltas": [],
                 "committed_epochs": {},
+                "epoch_watermarks": {},
                 "schema": self._default_schema.json() if self._default_schema else None,
             }
         with open(p) as f:
             m = json.load(f)
         self.num_buckets = m["num_buckets"]
         m.setdefault("deltas", [])
+        m.setdefault("epoch_watermarks", {})
         return m
 
+    def _is_epoch_committed(self, m: dict[str, Any], epoch_id: str) -> bool:
+        """Exactly-once check: the epoch is in the retained window, OR its
+        numeric id is at-or-below the per-stream watermark (an old entry
+        evicted from the window — Spark batch ids are monotonic per run, so
+        anything ≤ watermark was committed)."""
+        if epoch_id in m["committed_epochs"]:
+            return True
+        stream, n = _epoch_num(epoch_id)
+        if stream is None:
+            return False
+        wm = m["epoch_watermarks"].get(stream)
+        return wm is not None and n <= int(wm)
+
+    def _record_epoch(self, m: dict[str, Any], epoch_id: str, version: int) -> None:
+        """Record a committed epoch, advance the stream watermark, and evict
+        the oldest numeric entries beyond the retention window (non-numeric
+        epochs — one-shot ``batch-0``-style ids with no watermark — are
+        pinned). Keeps the manifest O(retention), not O(total epochs)."""
+        m["committed_epochs"][str(epoch_id)] = version
+        stream, n = _epoch_num(epoch_id)
+        if stream is not None:
+            wm = m["epoch_watermarks"].get(stream)
+            m["epoch_watermarks"][stream] = n if wm is None else max(int(wm), n)
+        evictable = sorted(
+            (v, k) for k, v in m["committed_epochs"].items() if _epoch_num(k)[0] is not None
+        )
+        excess = len(m["committed_epochs"]) - self.epoch_retention
+        for _, k in evictable[: max(excess, 0)]:
+            del m["committed_epochs"][k]
+
+    def _new_data_dir(self, version: int, delta: bool = False) -> str:
+        """Unique per-attempt data dir: two optimistic writers may both stage
+        files for the same target version; unique names mean the loser's
+        files are never referenced by any manifest (Iceberg's unique-file-
+        name discipline), and expire_snapshots GCs them."""
+        kind = "-delta" if delta else ""
+        return f"data/v{version:06d}{kind}-{uuid.uuid4().hex[:8]}"
+
+    def _pre_commit(self) -> None:
+        """Test-injection hook: runs inside the commit path just before the
+        version CAS (no-op in production)."""
+
     def _commit_manifest(self, manifest: dict[str, Any]) -> None:
+        self._pre_commit()
+        # ---- optimistic-concurrency check: the manifest we are replacing
+        # must still be the version we loaded (manifest['version'] - 1).
+        # flock already serializes same-host writers; this CAS is what makes
+        # multi-host writers safe on shared storage.
+        expect = manifest["version"] - 1
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                live_version = json.load(f)["version"]
+            if live_version != expect:
+                raise CommitConflictError(
+                    f"manifest moved to v{live_version} (expected v{expect}); retrying"
+                )
+        elif expect != 0:
+            raise CommitConflictError("manifest disappeared under writer")
         # snapshot history: every committed manifest is also retained under
         # _manifests/v{N}.json (the Iceberg snapshot-log analog) so past
-        # versions stay readable (time travel) until expire_snapshots
+        # versions stay readable (time travel) until expire_snapshots.
+        # The history copy is SLIM — epoch bookkeeping lives only in the
+        # live manifest (time-travel readers never consult it), halving
+        # per-commit serialization and keeping history entries O(buckets).
         hist = os.path.join(self.path, "_manifests")
         os.makedirs(hist, exist_ok=True)
+        slim = {k: v for k, v in manifest.items() if k not in ("committed_epochs", "epoch_watermarks")}
         with open(os.path.join(hist, f"v{manifest['version']:06d}.json"), "w") as f:
-            json.dump(manifest, f)
-        tmp = self._manifest_path() + ".tmp"
+            json.dump(slim, f)
+        tmp = p + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, self._manifest_path())  # the atomic snapshot commit
+        os.replace(tmp, p)  # the atomic snapshot commit
 
     # ---------------- read ----------------
     def exists(self) -> bool:
@@ -196,10 +315,16 @@ class SnapshotTable:
         compaction clears deltas, so base < every live delta) and applies
         delete markers."""
         if as_of_epoch is not None:
-            committed = self._load_manifest()["committed_epochs"]
-            if str(as_of_epoch) not in committed:
+            m0 = self._load_manifest()
+            if str(as_of_epoch) not in m0["committed_epochs"]:
+                if self._is_epoch_committed(m0, str(as_of_epoch)):
+                    raise ValueError(
+                        f"epoch {as_of_epoch!r} was committed but has left the retained "
+                        f"window (epoch_retention={self.epoch_retention}); address the "
+                        f"snapshot by version instead"
+                    )
                 raise ValueError(f"epoch {as_of_epoch!r} was never committed to this table")
-            version = int(committed[str(as_of_epoch)])
+            version = int(m0["committed_epochs"][str(as_of_epoch)])
         if version is not None:
             p = os.path.join(self.path, "_manifests", f"v{version:06d}.json")
             if not os.path.exists(p):
@@ -247,7 +372,7 @@ class SnapshotTable:
         else:
             df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
         # a version dir holds several buckets; prune to exactly the touched ones
-        return df.withColumn("_b", _bucket_expr(self.key_cols, self.num_buckets)).filter(
+        return df.withColumn("_b", _bucket_expr(self.key_cols, m["num_buckets"])).filter(
             F.col("_b").isin(buckets)
         ).drop("_b")
 
@@ -267,7 +392,7 @@ class SnapshotTable:
         """
         epoch_id = str(epoch_id)
         m = self._load_manifest()
-        if epoch_id in m["committed_epochs"]:
+        if self._is_epoch_committed(m, epoch_id):
             return {"skipped": True, "epoch": epoch_id, "version": m["version"]}
         if m.get("deltas"):
             # COW over outstanding MOR deltas would resurrect overwritten
@@ -289,7 +414,7 @@ class SnapshotTable:
             touched = sorted(r["_bucket"] for r in bucket_counts)
             n_upserts = int(sum(r["count"] for r in bucket_counts))
             new_version = m["version"] + 1
-            rel_dir = f"data/v{new_version:06d}"
+            rel_dir = self._new_data_dir(new_version)
             out_dir = os.path.join(self.path, rel_dir)
 
             current = self._read_buckets(m, touched)
@@ -322,7 +447,7 @@ class SnapshotTable:
                     m["buckets"].pop(str(b), None)  # bucket emptied by deletes
             m["version"] = new_version
             m["schema"] = schema_now.json()
-            m["committed_epochs"][epoch_id] = new_version
+            self._record_epoch(m, epoch_id, new_version)
             self._commit_manifest(m)
             return {
                 "skipped": False,
@@ -349,10 +474,10 @@ class SnapshotTable:
         This is the Iceberg MOR / equality-delete pattern."""
         epoch_id = str(epoch_id)
         m = self._load_manifest()
-        if epoch_id in m["committed_epochs"]:
+        if self._is_epoch_committed(m, epoch_id):
             return {"skipped": True, "epoch": epoch_id, "version": m["version"]}
         new_version = m["version"] + 1
-        rel_dir = f"data/v{new_version:06d}-delta"
+        rel_dir = self._new_data_dir(new_version, delta=True)
         out_dir = os.path.join(self.path, rel_dir)
         bexpr = _bucket_expr(self.key_cols, self.num_buckets)
         rows = upserts.withColumn("_op", F.lit("u"))
@@ -371,7 +496,7 @@ class SnapshotTable:
         n_rows = _parquet_footer_rows(out_dir)
         m["deltas"].append(rel_dir)
         m["version"] = new_version
-        m["committed_epochs"][epoch_id] = new_version
+        self._record_epoch(m, epoch_id, new_version)
         self._commit_manifest(m)
         return {
             "skipped": False,
@@ -391,7 +516,7 @@ class SnapshotTable:
             return {"compacted": False}
         resolved = self.read(m)
         new_version = m["version"] + 1
-        rel_dir = f"data/v{new_version:06d}"
+        rel_dir = self._new_data_dir(new_version)
         out_dir = os.path.join(self.path, rel_dir)
         bexpr = _bucket_expr(self.key_cols, self.num_buckets)
         resolved.withColumn("_bucket", bexpr).write.option("compression", self.compression).partitionBy("_bucket").mode(
@@ -418,7 +543,7 @@ class SnapshotTable:
         whole buckets and writes one file per bucket, zero extra shuffle."""
         m = self._load_manifest()
         new_version = m["version"] + 1
-        rel_dir = f"data/v{new_version:06d}"
+        rel_dir = self._new_data_dir(new_version)
         out_dir = os.path.join(self.path, rel_dir)
         bexpr = _bucket_expr(self.key_cols, self.num_buckets)
         dfb = df.withColumn("_bucket", bexpr)
@@ -432,21 +557,62 @@ class SnapshotTable:
         m["deltas"] = []
         m["version"] = new_version
         m["schema"] = df.schema.json()
-        m["committed_epochs"][str(epoch_id)] = new_version
+        self._record_epoch(m, str(epoch_id), new_version)
         self._commit_manifest(m)
         return {"version": new_version}
 
+    @_locked
+    def rebucket(self, new_num_buckets: int) -> dict[str, Any]:
+        """Change the table's bucket count — the Iceberg partition-spec-
+        evolution analog. A table created at 16 buckets cannot stay at 16
+        forever at 100 TB: buckets are also the unit of COW rewrite and of
+        merge parallelism, so they must grow with the table. Full rewrite,
+        version-committed; outstanding MOR deltas are folded in; old
+        snapshots keep their old layout (time-travel reads are manifest-
+        addressed, so they stay byte-identical)."""
+        new_num_buckets = int(new_num_buckets)
+        if new_num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        m = self._load_manifest()
+        resolved = self.read(m)
+        new_version = m["version"] + 1
+        rel_dir = self._new_data_dir(new_version)
+        out_dir = os.path.join(self.path, rel_dir)
+        bexpr = _bucket_expr(self.key_cols, new_num_buckets)
+        (
+            resolved.withColumn("_bucket", bexpr)
+            .repartition(min(new_num_buckets, 256), F.col("_bucket"))
+            .write.option("compression", self.compression)
+            .partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        )
+        m["buckets"] = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith("_bucket="):
+                m["buckets"][entry.split("=")[1]] = os.path.join(rel_dir, entry)
+        m["deltas"] = []
+        m["version"] = new_version
+        m["num_buckets"] = new_num_buckets
+        m["schema"] = resolved.schema.json()
+        self._commit_manifest(m)
+        self.num_buckets = new_num_buckets
+        return {"version": new_version, "num_buckets": new_num_buckets}
+
+    @_locked
     def expire_snapshots(self, keep_last: int = 2) -> None:
         """Iceberg snapshot-expiry analog: drop all but the last
         ``keep_last`` snapshot manifests (the current one always survives),
         then GC every data dir not reachable from a RETAINED manifest —
         retained snapshots stay time-travel-readable, expired ones free
-        their exclusive files. (The reference's checkpoint 'Clear' is a
-        no-op because topic compaction GCs for it —
+        their exclusive files (including orphaned dirs staged by losing
+        optimistic-concurrency attempts). Epoch entries mapping to expired
+        snapshots are pruned from the live manifest too (their idempotence
+        is carried by the stream watermark). (The reference's checkpoint
+        'Clear' is a no-op because topic compaction GCs for it —
         kafka_metadata.go:131-133.)"""
         m = self._load_manifest()
         hist = os.path.join(self.path, "_manifests")
         retained = [m]
+        retained_versions = {m["version"]}
         if os.path.isdir(hist):
             snaps = sorted(f for f in os.listdir(hist) if f.startswith("v") and f.endswith(".json"))
             for fname in snaps[:-keep_last] if keep_last else snaps:
@@ -454,8 +620,25 @@ class SnapshotTable:
                     os.remove(os.path.join(hist, fname))
             for fname in sorted(os.listdir(hist)):
                 if fname.startswith("v") and fname.endswith(".json"):
+                    retained_versions.add(int(fname[1:-5]))
                     with open(os.path.join(hist, fname)) as f:
                         retained.append(json.load(f))
+        # prune epoch entries whose snapshot is gone: no longer time-travel
+        # addressable, and the watermark covers their idempotence. Numeric
+        # epochs only — watermark-less ids stay pinned.
+        oldest = min(retained_versions)
+        stale = [
+            k for k, v in m["committed_epochs"].items()
+            if v < oldest and _epoch_num(k)[0] is not None
+        ]
+        if stale:
+            for k in stale:
+                del m["committed_epochs"][k]
+            # same version, fewer entries: direct atomic swap (not a commit)
+            tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            os.replace(tmp, self._manifest_path())
         live = set()
         for man in retained:
             live |= {d.split("/")[1] for d in man["buckets"].values()}

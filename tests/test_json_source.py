@@ -79,3 +79,54 @@ def test_json_streaming_replay_matches_oracle(spark, json_case, tmp_path):
     pipe = CdcPipeline(spark, str(tmp_path / "t"), run_id="js", source_format="json")
     pipe.run_stream(json_case["dir"], str(tmp_path / "ck"), max_files_per_trigger=2)
     assert_frames_equal(pipe.read_table().toPandas(), json_case["expected"])
+
+
+@pytest.fixture()
+def corrupt_json_case(json_case, tmp_path):
+    """The json_case log plus a late file containing garbage lines — the
+    poison-message scenario (reference: per-message produce errors are
+    classified, producer_batch.go:146-185; with no handler it panics,
+    connector.go:132-138 — the engine must dead-letter instead)."""
+    import os
+    import shutil
+
+    d = str(tmp_path / "log")
+    shutil.copytree(json_case["dir"], d)
+    bad = os.path.join(d, "chunk-99999.jsonl")
+    with open(bad, "w") as f:
+        f.write('{"partition_id": 0, "seqno": not-json\n')
+        f.write("complete garbage line\n")
+    t = 1_700_000_000 + 999 * 10  # delivered after every valid file
+    os.utime(bad, (t, t))
+    return {"dir": d, "expected": json_case["expected"], "n_corrupt": 2}
+
+
+def _read_rejections(base):
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(base, "_rejections", "*.parquet"))
+    return pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+
+
+def test_corrupt_lines_dead_letter_stream(spark, corrupt_json_case, tmp_path):
+    """A malformed wire line lands in _rejections with error_class='decode'
+    (raw line preserved) and the epoch still commits — final state matches
+    the oracle exactly."""
+    base = str(tmp_path / "t")
+    pipe = CdcPipeline(spark, base, run_id="jd", source_format="json")
+    pipe.run_stream(corrupt_json_case["dir"], str(tmp_path / "ck"), max_files_per_trigger=3)
+    assert_frames_equal(pipe.read_table().toPandas(), corrupt_json_case["expected"])
+    rej = _read_rejections(base)
+    dec = rej[rej["error_class"] == "decode"]
+    assert len(dec) == corrupt_json_case["n_corrupt"]
+    assert dec["value"].str.contains("garbage|not-json", regex=True).all()
+
+
+def test_corrupt_lines_dead_letter_batch(spark, corrupt_json_case, tmp_path):
+    base = str(tmp_path / "t")
+    pipe = CdcPipeline(spark, base, run_id="jdb", source_format="json")
+    pipe.run_batch_replay(corrupt_json_case["dir"])
+    assert_frames_equal(pipe.read_table().toPandas(), corrupt_json_case["expected"])
+    rej = _read_rejections(base)
+    assert (rej["error_class"] == "decode").sum() == corrupt_json_case["n_corrupt"]

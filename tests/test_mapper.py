@@ -100,3 +100,29 @@ def test_validation_rejections(spark, log_dir, tmp_path):
     rej_files = glob.glob(os.path.join(base, "_rejections", "*.parquet"))
     rej = pd.concat([pd.read_parquet(f) for f in rej_files])
     assert (rej["turn_idx"] >= 50).all() and len(rej) > 0
+
+
+def test_oversize_measures_whole_message(spark, log_dir, tmp_path):
+    """The oversize guard sizes the SERIALIZED message (key + full payload),
+    not just text — matching the reference's whole-Kafka-message semantics
+    (producer_batch.go:196-207): a row blown up via `tool` dead-letters even
+    when its text is tiny."""
+    base = str(tmp_path / "t")
+    big_tool = "x" * 5000
+    pipe = CdcPipeline(
+        spark, base, run_id="osz",
+        # inflate the tool column on a deterministic subset; text untouched
+        mapper=lambda df: df.withColumn(
+            "tool", F.when(F.col("turn_idx") % 7 == 0, F.lit(big_tool)).otherwise(F.col("tool"))
+        ),
+        max_message_bytes=4000,
+    )
+    pipe.run_stream(log_dir, str(tmp_path / "ck"), max_files_per_trigger=8)
+    rej_files = glob.glob(os.path.join(base, "_rejections", "*.parquet"))
+    assert rej_files, "oversize-via-tool rows were not dead-lettered"
+    rej = pd.concat([pd.read_parquet(f) for f in rej_files])
+    over = rej[rej["error_class"] == "oversize"]
+    assert len(over) > 0 and (over["turn_idx"] % 7 == 0).all()
+    # surviving table rows never carry the oversized tool payload
+    tbl = pipe.read_table().toPandas()
+    assert not (tbl["tool"].fillna("").str.len() >= 5000).any()

@@ -1,0 +1,179 @@
+"""Table-format metadata at the 10^10-event design point:
+
+- bounded manifest: committed-epoch bookkeeping must stay O(retention) —
+  NOT O(total epochs) — so per-commit driver JSON work is flat across a
+  million-epoch stream (round-2 verdict item #1);
+- watermark idempotence: epochs evicted from the retained window are still
+  recognized as committed via the per-stream watermark;
+- optimistic-concurrency commit: two writers racing on one table (no shared
+  flock — the cross-host case) both land exactly once (verdict item #2);
+- rebucket: partition-spec evolution — bucket count changes without
+  changing table contents (verdict item #10).
+"""
+
+import json
+import os
+import time
+from contextlib import contextmanager
+
+from go_dcp_kafka_spark.table.snapshot import CommitConflictError, SnapshotTable
+
+
+def _mk(spark, tmp_path, name="t", **kw):
+    t = SnapshotTable(spark, str(tmp_path / name), ("k",), 4, **kw)
+    return t
+
+
+# ------------------------------------------------------ bounded manifest
+def test_manifest_stays_flat_over_1000_epochs(spark, tmp_path):
+    """Driver-only simulation of 1,000 epoch commits (no Spark jobs — the
+    data-file side is irrelevant to manifest growth): manifest byte size and
+    per-commit time must be flat, not growing with total epochs."""
+    t = _mk(spark, tmp_path, epoch_retention=64)
+    m = t._load_manifest()
+    sizes, times = [], []
+    for e in range(1000):
+        t0 = time.perf_counter()
+        m["version"] += 1
+        t._record_epoch(m, f"run:{e}", m["version"])
+        t._commit_manifest(m)
+        times.append(time.perf_counter() - t0)
+        sizes.append(os.path.getsize(t._manifest_path()))
+    assert len(m["committed_epochs"]) <= 64
+    # flat size: growth from epoch 100 to 1000 is digit-width only (version
+    # numbers got one digit wider across 64 retained entries), never a new
+    # entry per epoch (old behavior: +~25 bytes/epoch => +22 KB here)
+    assert sizes[-1] <= sizes[100] + 256
+    # flat time: mean of last 100 commits within 3x mean of commits 100-200
+    # (generous bound — the old O(epochs) serialization grows ~10x here)
+    early = sum(times[100:200]) / 100
+    late = sum(times[-100:]) / 100
+    assert late < early * 3, f"per-commit time grew: {early:.6f}s -> {late:.6f}s"
+    # history manifests are slim (no epoch bookkeeping)
+    with open(os.path.join(t.path, "_manifests", "v001000.json")) as f:
+        hist = json.load(f)
+    assert "committed_epochs" not in hist and "epoch_watermarks" not in hist
+
+
+def test_watermark_covers_evicted_epochs(spark, tmp_path):
+    """An epoch evicted from the retained window still skips on re-delivery
+    (exactly-once across the full stream, not just the window)."""
+    t = _mk(spark, tmp_path, epoch_retention=4)
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    for e in range(8):
+        t.merge_mor(df, None, epoch_id=f"s:{e}")
+    m = t._load_manifest()
+    assert len(m["committed_epochs"]) <= 4
+    assert "s:0" not in m["committed_epochs"]  # evicted
+    # re-delivery of the evicted epoch skips via the watermark
+    res = t.merge_mor(spark.createDataFrame([(1, "STALE")], ["k", "v"]), None, epoch_id="s:0")
+    assert res["skipped"] is True
+    # distinct streams have independent watermarks
+    res2 = t.merge_mor(df, None, epoch_id="other:0")
+    assert res2["skipped"] is False
+    # non-numeric epoch ids are pinned, never evicted
+    t.merge_mor(df, None, epoch_id="backfill-x")
+    for e in range(8, 14):
+        t.merge_mor(df, None, epoch_id=f"s:{e}")
+    assert "backfill-x" in t._load_manifest()["committed_epochs"]
+    assert t.merge_mor(df, None, epoch_id="backfill-x")["skipped"] is True
+
+
+def test_expire_prunes_epoch_entries_and_orphans(spark, tmp_path):
+    t = _mk(spark, tmp_path, epoch_retention=64)
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    for e in range(6):
+        t.merge(df, None, epoch_id=f"s:{e}", n_updates=1)
+    t.expire_snapshots(keep_last=2)
+    m = t._load_manifest()
+    # entries below the oldest retained snapshot version are pruned...
+    assert all(v >= min(t.versions()) for v in m["committed_epochs"].values())
+    # ...but still recognized as committed (watermark)
+    assert t.merge(df, None, epoch_id="s:0", n_updates=1)["skipped"] is True
+    assert {r["v"] for r in t.read().collect()} == {"a"}
+
+
+# ------------------------------------------------- optimistic concurrency
+@contextmanager
+def _noop_lock():
+    yield
+
+
+def test_occ_conflict_detected_and_retried(spark, tmp_path):
+    """Cross-host writer race: writer A loses the version CAS to writer B
+    (B commits between A's manifest load and A's commit), A retries against
+    the fresh manifest, and BOTH epochs land exactly once."""
+    path = tmp_path / "shared"
+    a = SnapshotTable(spark, str(path), ("k",), 4)
+    b = SnapshotTable(spark, str(path), ("k",), 4)
+    # disable A's flock (simulates flock not spanning hosts) so B can write
+    # while A is mid-merge
+    a._write_lock = _noop_lock
+
+    fired = {"n": 0}
+
+    def inject_b_commit():
+        if fired["n"] == 0:
+            fired["n"] += 1
+            b.merge(spark.createDataFrame([(2, "from-b")], ["k", "v"]), None,
+                    epoch_id="b:1", n_updates=1)
+
+    a._pre_commit = inject_b_commit
+    res = a.merge(spark.createDataFrame([(1, "from-a")], ["k", "v"]), None,
+                  epoch_id="a:1", n_updates=1)
+    assert res["skipped"] is False
+    assert fired["n"] == 1  # conflict happened exactly once
+    state = {r["k"]: r["v"] for r in a.read().collect()}
+    assert state == {1: "from-a", 2: "from-b"}
+    m = a._load_manifest()
+    assert a._is_epoch_committed(m, "a:1") and a._is_epoch_committed(m, "b:1")
+    # A's losing attempt staged an orphan data dir; expiry GCs it
+    a.expire_snapshots(keep_last=1)
+    live = {d.split("/")[1] for d in a._load_manifest()["buckets"].values()}
+    on_disk = set(os.listdir(os.path.join(str(path), "data")))
+    assert on_disk == live
+
+
+def test_occ_exhausted_raises(spark, tmp_path):
+    a = _mk(spark, tmp_path)
+    a._write_lock = _noop_lock
+    b = SnapshotTable(spark, str(tmp_path / "t"), ("k",), 4)
+    df = spark.createDataFrame([(1, "x")], ["k", "v"])
+    counter = {"n": 0}
+
+    def always_conflict():
+        counter["n"] += 1
+        b.merge(df, None, epoch_id=f"b:{counter['n']}", n_updates=1)
+
+    a._pre_commit = always_conflict
+    try:
+        a.merge(df, None, epoch_id="a:1", n_updates=1)
+        raise AssertionError("expected CommitConflictError after retries exhausted")
+    except CommitConflictError:
+        pass
+
+
+# --------------------------------------------------------------- rebucket
+def test_rebucket_preserves_state_and_merges(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    rows = [(i, f"v{i}") for i in range(50)]
+    t.merge(spark.createDataFrame(rows, ["k", "v"]), None, epoch_id="e:0", n_updates=50)
+    before = {r["k"]: r["v"] for r in t.read().collect()}
+    v_before = t.version()
+    t.rebucket(16)
+    assert t.num_buckets == 16
+    assert {r["k"]: r["v"] for r in t.read().collect()} == before
+    # old snapshot still time-travel readable with the OLD layout
+    assert {r["k"]: r["v"] for r in t.read(version=v_before).collect()} == before
+    # merges after rebucket route by the NEW bucket fn (incl. a fresh handle)
+    t2 = SnapshotTable(spark, str(tmp_path / "t"), ("k",), 4)  # stale ctor hint
+    t2.merge(spark.createDataFrame([(1, "NEW"), (99, "n99")], ["k", "v"]), None,
+             epoch_id="e:1", n_updates=2)
+    assert t2.num_buckets == 16  # manifest wins over the ctor hint
+    after = {r["k"]: r["v"] for r in t2.read().collect()}
+    assert after[1] == "NEW" and after[99] == "n99" and after[2] == "v2"
+    # MOR deltas fold correctly across a rebucket
+    t2.merge_mor(spark.createDataFrame([(3, "M")], ["k", "v"]), None, epoch_id="e:2")
+    t2.rebucket(8)
+    final = {r["k"]: r["v"] for r in t2.read().collect()}
+    assert final[3] == "M" and len(final) == 51

@@ -63,7 +63,12 @@ def run(cpus: int, n_events: int, reps: int = 2) -> dict:
         for mode in ("batch", "stream", "stream_mor"):
             if r[f"{mode}_events_per_sec"] > best[f"{mode}_events_per_sec"]:
                 for k in r:
-                    if k.startswith(mode) or (mode == "batch" and k.startswith("batch")):
+                    # exact per-mode prefix: 'stream_' must not claim the
+                    # 'stream_mor_*' keys of a run that only won plain stream
+                    # (ADVICE r2 — that clobbered MOR's best with its worst)
+                    if k.startswith(mode + "_") and not (
+                        mode == "stream" and k.startswith("stream_mor_")
+                    ):
                         best[k] = r[k]
     best["all_runs"] = [
         {m: r[f"{m}_events_per_sec"] for m in ("batch", "stream", "stream_mor")} for r in runs
