@@ -217,6 +217,22 @@ def q_cdc_to_profile(spark, sf_dir):
     return text_profile(docs)
 
 
+def q_cdc_schema_evolution(spark, sf_dir):
+    """M4 headline: mid-stream schema evolution. The fixture log's early
+    FILES physically lack the ``tool`` column; the source reads with the
+    explicit CHANGE_EVENT_SCHEMA (nulls backfilled), the fold carries the
+    evolved column through, and the final state mixes pre-evolution rows
+    (tool=null) with post-evolution rows (tool set) — the oracle reads the
+    same files with union_by_name."""
+    from go_dcp_kafka_spark.gen import materialize_evolved_log
+    from go_dcp_kafka_spark.operators.fold import fold_change_events
+    from go_dcp_kafka_spark.schema import CHANGE_EVENT_SCHEMA
+
+    path = materialize_evolved_log()
+    events = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(path)
+    return fold_change_events(events).orderBy("conv_id", "turn_idx")
+
+
 def q_cdc_salted_rollup(spark, sf_dir):
     """Skew-proof per-key rollup via salt + two-phase aggregation
     (operators/salting.py) — the hot-conv_id strategy exercised as a query.
@@ -348,6 +364,25 @@ def q_doc_near_dup(spark, sf_dir):
     return jaccard_verify_pairs(docs, pairs, threshold=0.8)
 
 
+def q_doc_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components (min-id label propagation)
+    over the jaccard-verified candidate pairs — what a dedup pipeline
+    actually deletes (keep cluster_id, drop the rest). Oracle: recursive CTE
+    transitive closure over the identical pair set."""
+    from go_dcp_kafka_spark.functions.dedup_text import (
+        duplicate_clusters,
+        jaccard_verify_pairs,
+        minhash_near_duplicates,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    pairs = minhash_near_duplicates(
+        docs, num_hashes=NEAR_DUP_HASHES, bands=NEAR_DUP_BANDS, max_bucket_width=NEAR_DUP_CAP
+    )
+    verified = jaccard_verify_pairs(docs, pairs, threshold=0.8).select("a_id", "b_id")
+    return duplicate_clusters(verified)
+
+
 # ========================================================== embedding ops
 def _qvec(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
@@ -384,6 +419,39 @@ def q_emb_ivf_nprobe(spark, sf_dir):
         _spread(_read(spark, sf_dir, "embeddings")), _qvec(spark, sf_dir),
         k=10, n_centroids=16, nprobe=4,
     )
+
+
+def q_emb_ivf_mat(spark, sf_dir):
+    """IVF search over the MATERIALIZED cell-partitioned table: probe-cell
+    filter becomes a PartitionFilter — only nprobe of the cell directories
+    are read (test_plans pins the pruning). Same trained centroids and
+    rounding as emb_ivf_topk, so the same oracle verifies it."""
+    from go_dcp_kafka_spark.functions.similarity import ivf_topk_materialized
+
+    path = _ivf_table(spark, sf_dir)
+    return ivf_topk_materialized(spark, path, _qvec(spark, sf_dir), k=10, nprobe=1)
+
+
+def _ivf_table(spark, sf_dir, n_centroids: int = 16) -> str:
+    """Materialize (once) the IVF cell-partitioned twin of the embeddings
+    table for this sf_dir — the deterministic 'trained + partitioned' asset
+    a real deployment maintains."""
+    import glob as _glob
+
+    from go_dcp_kafka_spark.functions.similarity import materialize_ivf
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"gdks_ivf_{tag}_{n_centroids}")
+    if _glob.glob(os.path.join(path, "corpus", "cell=*", "*.parquet")):
+        return path
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    materialize_ivf(emb, cents, path)
+    return path
 
 
 def q_media_features(spark, sf_dir):
@@ -445,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_lineage": q_cdc_lineage,
         "cdc_salted_rollup": q_cdc_salted_rollup,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_to_profile": q_cdc_to_profile,
         "cdc_full_fold": q_cdc_full_fold,
         "sort_topk": q_sort_topk,
@@ -457,11 +526,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
         "doc_near_dup": q_doc_near_dup,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_nprobe": q_emb_ivf_nprobe,
+        "emb_ivf_mat": q_emb_ivf_mat,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
     }
@@ -530,11 +601,12 @@ def _ivf_sql(nprobe: int, n_centroids: int = 16, k: int = 10) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from go_dcp_kafka_spark.gen import materialize_flagship_log
+    from go_dcp_kafka_spark.gen import materialize_evolved_log, materialize_flagship_log
 
-    # materialize the flagship fixture NOW so the oracle can read it even if
-    # the driver runs the SQL before (or without) the Spark query
+    # materialize the fixtures NOW so the oracle can read them even if the
+    # driver runs the SQL before (or without) the Spark query
     flagship_path = materialize_flagship_log()
+    evolved_path = materialize_evolved_log()
     fingerprint_sh = _shingles("text", 8)
     prof_words = _words("text")
     stop_list = ", ".join(f"'{s}'" for s in _STOP)
@@ -577,8 +649,9 @@ def oracle_sql() -> dict[str, str]:
     )
     jacc_sh = _shingles("text", 3)
 
-    fold_sql = f"""
-            WITH ev AS (SELECT * FROM read_parquet('{flagship_path}')),
+    def _fold_sql(read_expr: str) -> str:
+        return f"""
+            WITH ev AS (SELECT * FROM {read_expr}),
             m AS (SELECT partition_id AS rb_partition_id, rollback_point AS rb_point,
                          delivery_seq AS rb_delivery
                   FROM ev WHERE op = 'rollback'),
@@ -594,7 +667,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM live)
             SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op = 'mutation'
-    """
+        """
+
+    fold_sql = _fold_sql(f"read_parquet('{flagship_path}')")
+    evolved_fold_sql = _fold_sql(f"read_parquet('{evolved_path}/*.parquet', union_by_name=true)")
 
     return {
         "cdc_lww_fold": """
@@ -654,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id % 8
         """,
         "cdc_full_fold": fold_sql,
+        "cdc_schema_evolution": evolved_fold_sql,
         "cdc_to_profile": f"""
             WITH f AS ({fold_sql}),
             documents_cdc AS (
@@ -763,6 +840,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                   len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.8
         """,
+        "doc_dup_clusters": f"""
+            WITH RECURSIVE s AS (SELECT doc_id, {_shingles("text", 3)} AS sh FROM documents),
+            sig AS (SELECT doc_id, {sig_cols16} FROM s),
+            bk AS (
+                {nd_buckets}),
+            keep AS (SELECT band_id, band_key FROM bk
+                     GROUP BY band_id, band_key HAVING count(*) <= {NEAR_DUP_CAP}),
+            bk2 AS (SELECT bk.* FROM bk JOIN keep USING (band_id, band_key)),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk2 a JOIN bk2 b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                WHERE a.doc_id < b.doc_id),
+            sd AS (SELECT doc_id, list_distinct({jacc_sh}) AS sh FROM documents),
+            verified AS (
+                SELECT p.a_id, p.b_id
+                FROM pairs p JOIN sd sa ON p.a_id = sa.doc_id JOIN sd sb ON p.b_id = sb.doc_id
+                WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.8),
+            edges AS (SELECT a_id AS u, b_id AS v FROM verified
+                      UNION SELECT b_id, a_id FROM verified),
+            reach(u, r) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+            SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+        """,
+        "emb_ivf_mat": _ivf_sql(nprobe=1),
         "emb_cosine_topk": f"""
             SELECT e.vec_id, CAST({_COS} AS DOUBLE) AS cosine
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q

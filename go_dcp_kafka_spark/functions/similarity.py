@@ -191,6 +191,81 @@ def ivf_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def materialize_ivf(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Write the corpus as an IVF-partitioned table: one parquet partition
+    per cell (``partitionBy('cell')``), plus the trained centroids alongside.
+
+    THIS is what makes IVF actually prune at scale: ``ivf_topk`` computes
+    the cell inline, so its ``cell IN (probe)`` filter evaluates after
+    scanning every row — fine locally, pointless at 10^10 vectors where the
+    whole point is to NOT READ non-probed cells. Searching the materialized
+    table turns the probe filter into a PartitionFilter: Spark lists only
+    nprobe of the K cell directories and never opens the rest
+    (test_plans pins this). Cell assignment is the shuffle-free
+    ``with_ivf_cell`` projection; the write repartitions by cell so each
+    cell directory gets contiguous files."""
+    import os
+
+    corpus_dir = os.path.join(path, "corpus")
+    cent_dir = os.path.join(path, "centroids")
+    centroids.write.mode("overwrite").parquet(cent_dir)
+    (
+        with_ivf_cell(embeddings.select(id_col, vec_col), centroids, vec_col)
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(corpus_dir)
+    )
+    return path
+
+
+def ivf_probe_cells(centroids, query_vec: list[float], nprobe: int, c_id: str = "cid", c_vec: str = "ce") -> list[int]:
+    """The query's ``nprobe`` nearest cells — a driver round-trip over the
+    K-row trained model, not over the corpus."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return [
+        r[c_id]
+        for r in centroids.select(
+            c_id, F.round(cosine_expr(F.col(c_vec), q), 6).alias("c")
+        )
+        .orderBy(F.desc("c"), F.col(c_id))
+        .limit(nprobe)
+        .collect()
+    ]
+
+
+def ivf_topk_materialized(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over a ``materialize_ivf`` table: the probe-cell filter is
+    a PARTITION filter — only nprobe cell directories are listed/read; the
+    rest of the corpus is never opened. Same results as ``ivf_topk`` (same
+    centroids, same 6-dp rounding), different physics."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    probe = ivf_probe_cells(cents, query_vec, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = (
+        spark.read.parquet(os.path.join(path, "corpus"))
+        .filter(F.col("cell").isin(probe))  # -> PartitionFilters, prunes files
+        .select(F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
 def pairwise_topk_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -361,6 +361,48 @@ def materialize_flagship_log(path: str | None = None) -> str:
     return path
 
 
+#: Fixture for the schema-evolution driver query: mid-stream ``tool`` column
+#: arrival (M4's headline feature) exercised through the multi-file log
+#: where early files PHYSICALLY lack the column.
+EVOLVED_CONFIG = dict(seed=77, n_convs=250, n_hot_convs=2, hot_turns=120, n_partitions=16)
+EVOLVED_N_FILES = 6
+
+
+def materialize_evolved_log(path: str | None = None) -> str:
+    """Write the deterministic schema-evolution change log as a DIRECTORY of
+    parquet files where files before the evolution boundary omit ``tool``
+    entirely (write_change_log's fixture behavior). Idempotent + atomic
+    (tmp dir, os.replace) so the Spark query and the DuckDB oracle
+    (read_parquet(..., union_by_name=true)) see the identical fixture."""
+    import tempfile
+
+    if path is None:
+        tag = "_".join(f"{k}{v}" for k, v in sorted(EVOLVED_CONFIG.items()))
+        dname = f"gdks_evolved_log_{tag}"
+        cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
+        try:
+            os.makedirs(cache, exist_ok=True)
+            path = os.path.join(cache, dname)
+        except OSError:
+            path = os.path.join(tempfile.gettempdir(), dname)
+    if os.path.exists(os.path.join(path, "_gen_meta.json")):
+        return path
+    res = generate_change_events(GenConfig(**EVOLVED_CONFIG))
+    tmp = f"{path}.tmp.{os.getpid()}"
+    write_change_log(
+        res.events, tmp, n_files=EVOLVED_N_FILES,
+        evolution_boundary=res.meta["evolution_boundary"],
+    )
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        # another process won the race; its fixture is byte-identical
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def fold_oracle(events: pd.DataFrame) -> pd.DataFrame:
     """Sequential reference fold: the semantics the distributed engine must
     reproduce exactly. Applies events in delivery order with per-partition

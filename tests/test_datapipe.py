@@ -138,3 +138,16 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(Exception) as ei:
         extract_features(media, use_fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_duplicate_clusters_label_propagation(spark):
+    """Connected components via min-label propagation: chains need multiple
+    rounds (propagation distance > 1), components get min-id labels, and
+    every doc in a pair appears exactly once."""
+    from go_dcp_kafka_spark.functions.dedup_text import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (23, 22), (21, 22), (20, 21)], ["a_id", "b_id"]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}

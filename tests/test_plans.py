@@ -82,6 +82,58 @@ def test_cdc_to_profile_adds_no_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_ivf_materialized_prunes_partitions(spark, tmp_path):
+    """Search over the materialized cell-partitioned table must prune at the
+    FILE level: the probe filter appears as a PartitionFilter (not a
+    DataFilter) and only the probed cells' files are read — the property
+    inline ivf_topk cannot have (it computes cell per-row after scanning
+    everything), and the whole point of IVF at 10^10 vectors."""
+    from go_dcp_kafka_spark.functions.similarity import (
+        ivf_topk,
+        ivf_topk_materialized,
+        materialize_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    path = str(tmp_path / "ivf")
+    materialize_ivf(emb, cents, path)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    df = ivf_topk_materialized(spark, path, qv, k=5, nprobe=2)
+    plan = _plan(df)  # pre-execution string (AQE reformats after collect)
+    got = df.collect()
+    # exactly one scan in this plan (centroids were a separate collect)
+    scan_line = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "PartitionFilters: [" in scan_line and "cell" in scan_line.split("PartitionFilters")[1][:80]
+    # the probe filter is NOT a post-scan data filter
+    assert "DataFilters: []" in scan_line
+    # PHYSICAL pruning: the executed scan read only the 2 probed cell dirs
+    import os
+
+    n_cells = len([d for d in os.listdir(os.path.join(path, "corpus")) if d.startswith("cell=")])
+
+    def scan_metric(node, key):
+        if "Scan" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == key:
+                    return kv._2().value()
+        for i in range(node.children().size()):
+            v = scan_metric(node.children().apply(i), key)
+            if v is not None:
+                return v
+        return None
+
+    n_read = scan_metric(df._jdf.queryExecution().executedPlan(), "numPartitions")
+    assert n_cells == 8 and n_read == 2, f"read {n_read} of {n_cells} cells"
+    # and the result matches the inline (scan-everything) implementation
+    inline = ivf_topk(emb, qv, k=5, n_centroids=8, nprobe=2)
+    assert [tuple(r) for r in got] == [tuple(r) for r in inline.collect()]
+
+
 def test_ivf_assign_is_shuffle_free(spark):
     """IVF cell assignment must be a pure projection over the corpus scan:
     no Window, no hashpartitioning Exchange; the only exchanges allowed are
