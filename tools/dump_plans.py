@@ -77,6 +77,24 @@ def main() -> None:
         "centroid side (SinglePartition + Broadcast).",
     )
 
+    from go_dcp_kafka_spark.functions.similarity import (
+        ivf_topk_materialized,
+        materialize_ivf,
+    )
+
+    ivf_dir = os.path.join(tempfile.mkdtemp(), "ivf")
+    materialize_ivf(emb, cents, ivf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cap(
+        "IVF search over the materialized cell-partitioned table (file pruning)",
+        ivf_topk_materialized(spark, ivf_dir, qv, k=5, nprobe=2),
+        "The probe filter is a PartitionFilter on the scan (DataFilters: []): "
+        "Spark lists only the nprobe probed cell directories and never opens "
+        "the rest — executed-scan metrics in test_plans show 2 of 8 cells "
+        "read. This is the storage-pruning property inline ivf_topk cannot "
+        "have, and the reason the corpus is materialized partitionBy(cell).",
+    )
+
     out = (
         "# PLANS — physical plans of the core operators (captured from .explain)\n\n"
         "Regenerate: `python tools/dump_plans.py` (this file).\n\n" + "\n".join(sections)
