@@ -561,6 +561,46 @@ class SnapshotTable:
         self._commit_manifest(m)
         return {"version": new_version}
 
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental (changelog) read: the NET row-level changes between
+        two retained snapshots — the Iceberg incremental-scan / CDC-feed
+        analog. A downstream consumer that processed the table as of
+        ``from_version`` calls this instead of re-reading 100 TB.
+
+        Returns key cols + payload (values as of ``to_version``; null payload
+        for deletes) + ``_change`` ∈ ('insert', 'update', 'delete').
+        Unchanged rows are absent. Implemented as a key full-outer join of
+        the two snapshot states with a null-safe payload comparison — both
+        sides share the bucket layout, so the join shuffles each side once on
+        the same key hash (co-partitioned at the exchange); rows, not epochs,
+        bound the cost. Schema evolution between the snapshots is handled by
+        aligning the old side to the new schema (missing columns read as
+        null, so a backfilled column shows up as 'update' only where values
+        actually differ)."""
+        new = self.read(version=to_version) if to_version is not None else self.read()
+        old = self.read(version=from_version)
+        payload = [c for c in new.columns if c not in self.key_cols]
+        for c in payload:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(dict(new.dtypes)[c]))
+        o = old.select(*self.key_cols, F.struct(*[F.col(c) for c in payload]).alias("_old"))
+        n = new.select(*self.key_cols, F.struct(*[F.col(c) for c in payload]).alias("_new"))
+        j = o.join(n, on=list(self.key_cols), how="full_outer")
+        change = (
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .when(F.col("_new").isNull(), F.lit("delete"))
+            .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
+        )
+        return (
+            j.withColumn("_change", change)
+            .filter(F.col("_change").isNotNull())
+            .select(
+                *self.key_cols,
+                *[F.col(f"_new.{c}").alias(c) for c in payload],
+                "_change",
+            )
+        )
+
     @_locked
     def rebucket(self, new_num_buckets: int) -> dict[str, Any]:
         """Change the table's bucket count — the Iceberg partition-spec-

@@ -178,3 +178,31 @@ def test_time_travel_by_epoch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="never committed"):
         t.read(as_of_epoch="run:99")
+
+
+def test_read_changes_incremental_scan(spark, tmp_path):
+    """Changelog read between snapshots: inserts/updates/deletes exactly, no
+    unchanged rows; schema evolution between the versions reads as updates
+    only where values differ."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), 4)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"]),
+            None, epoch_id="e:1", n_updates=3)
+    v1 = t.version()
+    dels = spark.createDataFrame([(3,)], ["k"])
+    t.merge(spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"]), dels,
+            epoch_id="e:2", n_updates=3)
+    got = {r["k"]: (r["v"], r["_change"]) for r in t.read_changes(v1).collect()}
+    assert got == {2: ("B", "update"), 3: (None, "delete"), 4: ("d", "insert")}
+    # explicit to_version + unchanged row (k=1) stays absent
+    assert 1 not in got
+    assert t.read_changes(v1, t.version()).count() == 3
+    # same-version diff is empty
+    assert t.read_changes(t.version()).count() == 0
+    # schema evolution across the diff: new column arrives in v3
+    t.merge(
+        spark.createDataFrame([(1, "a", "x")], ["k", "v", "extra"]),
+        None, epoch_id="e:3", n_updates=1,
+    )
+    ch = {r["k"]: (r["v"], r["extra"], r["_change"]) for r in t.read_changes(v1).collect()}
+    assert ch[1] == ("a", "x", "update")   # same v, new extra value => update
+    assert ch[4] == ("d", None, "insert")
