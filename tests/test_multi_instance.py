@@ -42,3 +42,39 @@ def test_two_instances_disjoint_partitions_shared_table(spark, gen_result, log_i
     assert not errors, errors
 
     assert_frames_equal(shared.read().toPandas(), fold_oracle(gen_result.events))
+
+
+def test_two_instances_separate_table_handles(spark, gen_result, log_info, tmp_path):
+    """Same scenario but each instance constructs its OWN SnapshotTable
+    handle on the shared path — the real multi-process deployment shape.
+    Writer coordination is flock (same host) + the version-CAS commit
+    (cross-host backstop); no shared in-process lock object exists."""
+    shared_path = str(tmp_path / "shared")
+    errors = []
+
+    def instance(i: int):
+        try:
+            own_handle = SnapshotTable(
+                spark, shared_path, KEY_COLS, 8, schema=TRANSCRIPT_SCHEMA
+            )
+            pipe = CdcPipeline(
+                spark,
+                str(tmp_path / f"inst{i}"),
+                tables={DEFAULT_TARGET: own_handle},
+                mapper=filter_mapper(F.col("partition_id") % 2 == i),
+                run_id=f"sep{i}",
+                merge_mode="cow",  # COW: concurrent bucket rewrites, the hard case
+            )
+            pipe.run_stream(log_info["dir"], str(tmp_path / f"ck{i}"), max_files_per_trigger=3)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=instance, args=(i,)) for i in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    reader = SnapshotTable(spark, shared_path, KEY_COLS, 8, schema=TRANSCRIPT_SCHEMA)
+    assert_frames_equal(reader.read().toPandas(), fold_oracle(gen_result.events))
