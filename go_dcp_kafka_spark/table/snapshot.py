@@ -29,6 +29,14 @@ real ``MERGE INTO`` (see ``iceberg_merge_sql`` below).
 
 Versions are retained (time-travel-lite) until ``expire_snapshots``.
 
+Deployment constraint: the manifest/lock IO uses the local filesystem API
+(``os`` / ``flock``), so the fallback format requires a POSIX-visible path
+(local disk, NFS, or a FUSE-mounted object store). Writer safety layers:
+flock serializes same-host writers; the version-CAS commit (optimistic
+concurrency, see ``_locked``) is the backstop wherever flock does not span
+writers. On clusters with object-store-native tables, use the Iceberg path
+(``iceberg_merge_sql``) — the planner code is identical.
+
 The bucket function includes ``turn_idx`` deliberately: hot conversations
 (thousands of turns, Zipf) spread uniformly — see operators/salting.py.
 """
