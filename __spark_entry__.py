@@ -383,6 +383,33 @@ def q_doc_dup_clusters(spark, sf_dir):
     return duplicate_clusters(verified)
 
 
+def q_doc_vocab_topk(spark, sf_dir):
+    """Vocabulary building: top-50 tokens by document frequency (one vote
+    per doc per distinct token) — one shuffle + TakeOrderedAndProject."""
+    from go_dcp_kafka_spark.functions.corpus import vocab_topk
+
+    return vocab_topk(_spread(_read(spark, sf_dir, "documents")), k=50)
+
+
+def q_doc_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split: hash-mod projection, reproducible
+    and stable under corpus growth (no randomSplit sampling state)."""
+    from go_dcp_kafka_spark.functions.corpus import split_assign
+
+    return split_assign(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing >= 1 word-3-gram with
+    the 'benchmark' docs (doc_id < 20) — broadcast benchmark shingle hashes,
+    corpus never shuffled by the join."""
+    from go_dcp_kafka_spark.functions.corpus import contamination_check
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") < 20)
+    return contamination_check(docs, bench, shingle_words=3)
+
+
 # ========================================================== embedding ops
 def _qvec(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
@@ -527,6 +554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "doc_near_dup": q_doc_near_dup,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_vocab_topk": q_doc_vocab_topk,
+        "doc_split_assign": q_doc_split_assign,
+        "doc_contamination": q_doc_contamination,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
@@ -867,6 +897,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
         """,
         "emb_ivf_mat": _ivf_sql(nprobe=1),
+        "doc_vocab_topk": f"""
+            SELECT word, count(*) AS df
+            FROM (SELECT doc_id, unnest(list_distinct({_words("text")})) AS word FROM documents)
+            GROUP BY word ORDER BY df DESC, word LIMIT 50
+        """,
+        "doc_split_assign": f"""
+            SELECT doc_id,
+                   CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         {_H60.format(x="CONCAT('split-v1', '#', CAST(doc_id AS VARCHAR))")} % 100 AS h
+                  FROM documents)
+        """,
+        "doc_contamination": f"""
+            WITH b AS (
+                SELECT DISTINCT {_H60.format(x="s")} AS sh_h
+                FROM (SELECT unnest(list_distinct({_shingles("text", 3)})) AS s
+                      FROM documents WHERE doc_id < 20)),
+            c AS (
+                SELECT doc_id, {_H60.format(x="s")} AS sh_h
+                FROM (SELECT doc_id, unnest(list_distinct({_shingles("text", 3)})) AS s
+                      FROM documents WHERE doc_id >= 20))
+            SELECT doc_id, count(*) AS n_hits FROM c JOIN b USING (sh_h) GROUP BY doc_id
+        """,
         "emb_cosine_topk": f"""
             SELECT e.vec_id, CAST({_COS} AS DOUBLE) AS cosine
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q

@@ -125,6 +125,13 @@ class CdcPipeline:
         self.expire_every = expire_every
         self.keep_snapshots = keep_snapshots
         self._epochs_since_expire = 0
+        #: cache the micro-batch across the epoch's passes (stats + merge).
+        #: Default: off for columnar sources — two vectorized parquet scans
+        #: of an epoch's files are cheap and bounded, while caching a large
+        #: micro-batch costs a materialization pass and executor memory
+        #: (spill risk at real epoch sizes); on for the JSON wire, where
+        #: every pass would re-pay row-by-row parsing.
+        self.cache_batch = source_format == "json"
         #: MessageTooLargeError analog (producer_batch.go:146-185): rows whose
         #: text exceeds this byte size dead-letter with error_class='oversize'
         #: instead of poisoning the merge.
@@ -147,7 +154,8 @@ class CdcPipeline:
         t0 = time.time()
         spark = batch_df.sparkSession
         epoch_key = f"{self.run_id}:{epoch_id}"
-        batch_df = batch_df.persist()
+        if self.cache_batch:
+            batch_df = batch_df.persist()
         try:
             # ---- decode dead-lettering (JSON wire): malformed lines carry
             # the raw text in CORRUPT_COL; they go to _rejections with
@@ -201,6 +209,7 @@ class CdcPipeline:
                 .toPandas()
             )
 
+            t_stats_done = time.time()
             eff = dict(hwm0)
             marker_rows: list[tuple[int, int]] = []
             if int(stats_pd["n_rollbacks"].sum()) > 0:
@@ -285,6 +294,7 @@ class CdcPipeline:
             )
             t_merge = time.time()
             n_merged = self._merge_routed(mapped, epoch_key, n_upper)
+            t_merge_done = time.time()
             if self.metrics is not None:
                 from go_dcp_kafka_spark.streaming.metrics import BATCH_PRODUCE_LATENCY_MS
 
@@ -320,11 +330,26 @@ class CdcPipeline:
                     for table in self.tables.values():
                         table.expire_snapshots(keep_last=self.keep_snapshots)
                     self._epochs_since_expire = 0
-            self.last_stats = {"epoch": epoch_key, "n_merged": n_merged}
+            # per-phase latency breakdown (the reference's latency gauges,
+            # collector.go:38-56, at phase granularity) — observability for
+            # tuning per-epoch fixed cost
+            now = time.time()
+            self.last_stats = {
+                "epoch": epoch_key,
+                "n_merged": n_merged,
+                "phase_ms": {
+                    "stats": int((t_stats_done - t0) * 1000),
+                    "mapper_guards": int((t_merge - t_stats_done) * 1000),
+                    "merge": int((t_merge_done - t_merge) * 1000),
+                    "checkpoint_lineage": int((now - t_merge_done) * 1000),
+                    "total": int((now - t0) * 1000),
+                },
+            }
             if self.on_epoch_complete is not None:
                 self.on_epoch_complete(self.last_stats)
         finally:
-            batch_df.unpersist()
+            if self.cache_batch:
+                batch_df.unpersist()
 
     def _merge_routed(self, mapped: DataFrame, epoch_key: str, n_upper: int | None = None) -> int:
         """Split by routing target and MERGE each. Missing mapping: the
@@ -340,10 +365,16 @@ class CdcPipeline:
             self._reject(unknown, "unknown routing target", epoch_key, REJECT_ROUTING)
         for name, table in self.tables.items():
             part = mapped.filter(F.col("target") == name).drop("target") if has_target else mapped
-            winners = lww_winners(part).persist()
             # streaming default is MOR (see __init__ docstring): merge cost ∝
             # batch size, per-epoch COW rewrite amortizes only in batch mode
             mode = self.merge_mode or "mor"
+            # COW consumes the winners TWICE (touched-bucket keys job + the
+            # rewrite job) -> persist pays for itself; MOR consumes them in
+            # exactly ONE job (union + delta write) -> caching would only add
+            # a materialization pass
+            winners = lww_winners(part)
+            if mode != "mor":
+                winners = winners.persist()
             try:
                 upserts = winners.filter(F.col("op") == OP_MUTATION).select(*KEY_COLS, *PAYLOAD_COLS)
                 deletes = winners.filter(F.col("op") != OP_MUTATION).select(*KEY_COLS)
@@ -362,7 +393,8 @@ class CdcPipeline:
                         table.compact()
                         self._epochs_since_compact = 0
             finally:
-                winners.unpersist()
+                if mode != "mor":
+                    winners.unpersist()
         return total
 
     def _reject(self, rows: DataFrame, error: str, epoch_id, error_class: str = REJECT_VALIDATION) -> None:

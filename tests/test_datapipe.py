@@ -151,3 +151,44 @@ def test_duplicate_clusters_label_propagation(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_corpus_ops_shapes_and_invariants(spark):
+    """Corpus operators: split assignment is a stable pure projection,
+    vocab top-k avoids a global sort, contamination broadcasts the
+    benchmark side and never shuffles the corpus for the join."""
+    from pyspark.sql import functions as F
+
+    from go_dcp_kafka_spark.functions.corpus import (
+        contamination_check,
+        split_assign,
+        vocab_topk,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    # split: deterministic + stable (two runs identical), all splits present
+    a = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    assert a == b and set(a.values()) == {"train", "val", "test"}
+    # roughly 80/10/10 (wide tolerance at sf0.001's 50 docs)
+    n = len(a)
+    assert sum(1 for s in a.values() if s == "train") / n > 0.5
+    # a different salt produces a different (but stable) split
+    c = {r["doc_id"]: r["split"] for r in split_assign(docs, salt="v2").collect()}
+    assert c != a
+
+    plan = vocab_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    bench = docs.filter(F.col("doc_id") < 5)
+    cont = contamination_check(docs, bench, shingle_words=3)
+    plan = cont._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # exchanges are bounded and none carries corpus volume: 1 for each
+    # benchmark-side distinct (K docs) + 1 for the final per-doc count.
+    # The corpus itself flows scan -> anti-join (broadcast) -> explode ->
+    # broadcast probe with no shuffle before the count.
+    assert plan.count("Exchange hashpartitioning") <= 3
+    # benchmark docs themselves are excluded from the report
+    assert cont.filter(F.col("doc_id") < 5).count() == 0
