@@ -410,6 +410,42 @@ def q_doc_contamination(spark, sf_dir):
     return contamination_check(docs, bench, shingle_words=3)
 
 
+def q_doc_clean_corpus(spark, sf_dir):
+    """END-TO-END corpus cleaning — the materialization a training pipeline
+    actually ships: keep a doc iff (1) it is the keeper (min doc_id) of its
+    exact-duplicate group, (2) it is the representative (min doc_id) of its
+    near-dup cluster or in no cluster, and (3) quality >= 0.4. Composes
+    exact dedup + LSH near-dup + connected components + quality scoring;
+    each stage is the already-verified operator, chained with semi/anti
+    joins (no collect, no recompute of the corpus per stage)."""
+    from go_dcp_kafka_spark.functions.dedup_text import (
+        duplicate_clusters,
+        exact_duplicates,
+        jaccard_verify_pairs,
+        minhash_near_duplicates,
+    )
+    from go_dcp_kafka_spark.functions.textstats import text_profile
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    keepers = exact_duplicates(docs, min_copies=1).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    pairs = minhash_near_duplicates(
+        docs, num_hashes=NEAR_DUP_HASHES, bands=NEAR_DUP_BANDS, max_bucket_width=NEAR_DUP_CAP
+    )
+    verified = jaccard_verify_pairs(docs, pairs, threshold=0.8).select("a_id", "b_id")
+    clusters = duplicate_clusters(verified)
+    dup_losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    quality = text_profile(docs).select("doc_id", "quality")
+    return (
+        docs.join(keepers, "doc_id", "left_semi")
+        .join(dup_losers, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.4)
+        .select("doc_id", "quality")
+    )
+
+
 # ========================================================== embedding ops
 def _qvec(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
@@ -555,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_near_dup": q_doc_near_dup,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_vocab_topk": q_doc_vocab_topk,
+        "doc_clean_corpus": q_doc_clean_corpus,
         "doc_split_assign": q_doc_split_assign,
         "doc_contamination": q_doc_contamination,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -897,6 +934,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
         """,
         "emb_ivf_mat": _ivf_sql(nprobe=1),
+        "doc_clean_corpus": f"""
+            WITH RECURSIVE s AS (SELECT doc_id, {_shingles("text", 3)} AS sh FROM documents),
+            sig AS (SELECT doc_id, {sig_cols16} FROM s),
+            bk AS (
+                {nd_buckets}),
+            keep AS (SELECT band_id, band_key FROM bk
+                     GROUP BY band_id, band_key HAVING count(*) <= {NEAR_DUP_CAP}),
+            bk2 AS (SELECT bk.* FROM bk JOIN keep USING (band_id, band_key)),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bk2 a JOIN bk2 b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                WHERE a.doc_id < b.doc_id),
+            sd AS (SELECT doc_id, list_distinct({jacc_sh}) AS sh FROM documents),
+            verified AS (
+                SELECT p.a_id, p.b_id
+                FROM pairs p JOIN sd sa ON p.a_id = sa.doc_id JOIN sd sb ON p.b_id = sb.doc_id
+                WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.8),
+            edges AS (SELECT a_id AS u, b_id AS v FROM verified
+                      UNION SELECT b_id, a_id FROM verified),
+            reach(u, r) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+            clusters AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+            losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+            keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            q AS (SELECT doc_id, CAST({quality} AS DOUBLE) AS quality FROM documents)
+            SELECT d.doc_id, q.quality
+            FROM documents d
+            JOIN keepers k ON d.doc_id = k.doc_id
+            LEFT JOIN losers l ON d.doc_id = l.doc_id
+            JOIN q ON d.doc_id = q.doc_id
+            WHERE l.doc_id IS NULL AND q.quality >= 0.4
+        """,
         "doc_vocab_topk": f"""
             SELECT word, count(*) AS df
             FROM (SELECT doc_id, unnest(list_distinct({_words("text")})) AS word FROM documents)
