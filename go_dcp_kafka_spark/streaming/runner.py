@@ -126,12 +126,13 @@ class CdcPipeline:
         self.keep_snapshots = keep_snapshots
         self._epochs_since_expire = 0
         #: cache the micro-batch across the epoch's passes (stats + merge).
-        #: Default: off for columnar sources — two vectorized parquet scans
-        #: of an epoch's files are cheap and bounded, while caching a large
-        #: micro-batch costs a materialization pass and executor memory
-        #: (spill risk at real epoch sizes); on for the JSON wire, where
-        #: every pass would re-pay row-by-row parsing.
-        self.cache_batch = source_format == "json"
+        #: Default by pass economics: MOR-on-parquet makes TWO vectorized
+        #: scans of an epoch's files (stats + delta write) — re-scanning is
+        #: cheap and bounded, while caching costs a materialization pass and
+        #: executor memory (spill risk at real epoch sizes). COW makes three
+        #: passes (stats + touched-key count + rewrite) and the JSON wire
+        #: re-pays row-by-row parsing per pass — both cache.
+        self.cache_batch = source_format == "json" or merge_mode == "cow"
         #: MessageTooLargeError analog (producer_batch.go:146-185): rows whose
         #: text exceeds this byte size dead-letter with error_class='oversize'
         #: instead of poisoning the merge.
