@@ -105,3 +105,51 @@ def test_fold_equals_oracle_on_arbitrary_streams(spark, rows):
     events = spark.createDataFrame(pdf, schema=CHANGE_EVENT_SCHEMA)
     actual = fold_change_events(events).toPandas()
     assert_frames_equal(actual, expected)
+
+
+def test_read_changes_replay_invariant(spark, tmp_path):
+    """Changelog property: for EVERY retained snapshot pair (v1 < v2),
+    applying read_changes(v1, v2) to the v1 state reproduces the v2 state
+    exactly, and every emitted row is a genuine change (inserts absent
+    before, deletes present before, updates differ)."""
+    import random
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    rng = random.Random(7)
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), 4)
+    state: dict[int, str] = {}
+    snapshots: dict[int, dict[int, str]] = {}
+    for e in range(5):
+        ups = {rng.randrange(30): f"v{e}_{i}" for i in range(rng.randrange(1, 8))}
+        dels = [k for k in list(state) if rng.random() < 0.2 and k not in ups]
+        t.merge(
+            spark.createDataFrame(list(ups.items()), ["k", "v"]),
+            spark.createDataFrame([(k,) for k in dels], ["k"]) if dels else None,
+            epoch_id=f"p:{e}",
+            n_updates=len(ups) + len(dels),
+        )
+        state.update(ups)
+        for k in dels:
+            state.pop(k, None)
+        snapshots[t.version()] = dict(state)
+        assert {r["k"]: r["v"] for r in t.read().collect()} == state
+
+    versions = sorted(snapshots)
+    for i, v1 in enumerate(versions):
+        for v2 in versions[i + 1 :]:
+            ch = t.read_changes(v1, v2).collect()
+            old, new = snapshots[v1], snapshots[v2]
+            rebuilt = dict(old)
+            for r in ch:
+                kind = r["_change"]
+                if kind == "insert":
+                    assert r["k"] not in old
+                    rebuilt[r["k"]] = r["v"]
+                elif kind == "delete":
+                    assert r["k"] in old
+                    rebuilt.pop(r["k"], None)
+                else:
+                    assert old.get(r["k"]) != r["v"]
+                    rebuilt[r["k"]] = r["v"]
+            assert rebuilt == new, f"replay v{v1}->v{v2} diverged"
