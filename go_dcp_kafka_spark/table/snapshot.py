@@ -67,7 +67,8 @@ class CommitConflictError(RuntimeError):
     /root/reference/kafka/metadata/kafka_metadata.go:26-46)."""
 
 
-_OCC_MAX_RETRIES = 5
+_OCC_MAX_RETRIES = 8
+_OCC_BACKOFF_SEC = 0.05  # linear per-attempt backoff decorrelates contenders
 
 
 def _locked(fn):
@@ -87,6 +88,8 @@ def _locked(fn):
     """
 
     def wrapper(self, *args, **kwargs):
+        import time as _time
+
         with self._write_lock():
             for attempt in range(_OCC_MAX_RETRIES):
                 try:
@@ -94,6 +97,7 @@ def _locked(fn):
                 except CommitConflictError:
                     if attempt == _OCC_MAX_RETRIES - 1:
                         raise
+                    _time.sleep(_OCC_BACKOFF_SEC * (attempt + 1))
 
     wrapper.__name__ = fn.__name__
     wrapper.__doc__ = fn.__doc__
@@ -504,6 +508,19 @@ class SnapshotTable:
         n_rows = _parquet_footer_rows(out_dir)
         m["deltas"].append(rel_dir)
         m["version"] = new_version
+        # record/merge the table schema: a MOR-only table must be readable
+        # by a fresh handle (no ctor schema), and an evolved column arriving
+        # in a delta widens the recorded schema without dropping old columns
+        delta_schema = upserts.schema
+        if m.get("schema"):
+            merged = T.StructType.fromJson(json.loads(m["schema"]))
+            have = {f.name for f in merged.fields}
+            for f in delta_schema.fields:
+                if f.name not in have:
+                    merged = T.StructType([*merged.fields, f])
+            m["schema"] = merged.json()
+        else:
+            m["schema"] = delta_schema.json()
         self._record_epoch(m, epoch_id, new_version)
         self._commit_manifest(m)
         return {

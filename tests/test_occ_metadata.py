@@ -177,3 +177,40 @@ def test_rebucket_preserves_state_and_merges(spark, tmp_path):
     t2.rebucket(8)
     final = {r["k"]: r["v"] for r in t2.read().collect()}
     assert final[3] == "M" and len(final) == 51
+
+
+def test_occ_stress_four_lockless_writers(spark, tmp_path):
+    """4 concurrent writers, flock DISABLED on all (pure CAS coordination —
+    the worst-case cross-host picture): every epoch lands exactly once,
+    no lost updates, manifest version advances once per successful commit."""
+    import threading
+
+    path = str(tmp_path / "t")
+    errors = []
+
+    def writer(w: int):
+        try:
+            t = SnapshotTable(spark, path, ("k",), 4)
+            t._write_lock = _noop_lock
+            for e in range(3):
+                df = spark.createDataFrame([(w * 10 + e, f"w{w}e{e}")], ["k", "v"])
+                res = t.merge_mor(df, None, epoch_id=f"w{w}:{e}")
+                assert res["skipped"] is False
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    reader = SnapshotTable(spark, path, ("k",), 4)
+    state = {r["k"]: r["v"] for r in reader.read().collect()}
+    assert state == {w * 10 + e: f"w{w}e{e}" for w in range(4) for e in range(3)}
+    m = reader._load_manifest()
+    assert m["version"] == 12  # one version per successful commit, none lost
+    for w in range(4):
+        for e in range(3):
+            assert reader._is_epoch_committed(m, f"w{w}:{e}")
