@@ -551,6 +551,18 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """Image resize plumbing (binary in -> smaller binary out, 1:1) — the
+    query emits the scalar metadata (dims + output byte count) so the oracle
+    recomputes it from the source text's byte length."""
+    from go_dcp_kafka_spark.functions.multimodal import media_from_documents, resize_media
+
+    media = media_from_documents(_read(spark, sf_dir, "documents")).coalesce(4)
+    return resize_media(media, out_w=16, out_h=16, use_fake=True).select(
+        "media_id", "out_w", "out_h", "n_bytes_out"
+    )
+
+
 def q_emb_near_dup(spark, sf_dir):
     from go_dcp_kafka_spark.functions.dedup_text import embedding_near_duplicates
 
@@ -602,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_mat": q_emb_ivf_mat,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "media_resize": q_media_resize,
     }
 
 
@@ -1024,6 +1037,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
                    CAST(least(256, nb - fi * 256) AS BIGINT) AS n_frame_bytes
             FROM f
+        """,
+        "media_resize": """
+            SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS out_w, CAST(16 AS INTEGER) AS out_h,
+                   CAST(least(strlen(text), 256) AS BIGINT) AS n_bytes_out
+            FROM documents WHERE doc_id % 3 = 0
         """,
         "emb_near_dup": f"""
             WITH b AS (SELECT vec_id, embedding, {_SIGN_BUCKET.format(v="embedding")} AS bucket

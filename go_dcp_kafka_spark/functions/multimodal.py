@@ -177,6 +177,46 @@ def extract_features_scalar(media: DataFrame, use_fake: bool = False) -> DataFra
     return media.select("media_id", "kind", "payload").mapInPandas(fn, FEATURE_SCALAR_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("n_bytes_out", T.LongType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, out_w: int = 64, out_h: int = 64, use_fake: bool = False) -> DataFrame:
+    """Image resize via mapInPandas (1 binary row -> 1 smaller binary row) —
+    the third multimodal kernel shape next to feature-extract (N scalars out)
+    and frame-sample (1->N rows). The fake kernel crops the payload to
+    out_w*out_h bytes (so ``n_bytes_out = min(n_bytes, out_w*out_h)`` is
+    SQL-reproducible); a real kernel would PIL-decode, resize, re-encode —
+    identical plumbing: binary in, binary out, bounded Arrow batches,
+    metadata as sibling scalar columns. Only kind='image' rows are read
+    (filter prunes before bytes are touched)."""
+    budget = out_w * out_h
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not use_fake:
+                raise NotImplementedError("real image resize requires PIL; pass use_fake=True")
+            resized = b["payload"].map(lambda x: None if x is None else bytes(x[:budget]))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "out_w": np.int32(out_w),
+                    "out_h": np.int32(out_h),
+                    "n_bytes_out": resized.map(lambda x: 0 if x is None else len(x)).astype("int64"),
+                    "resized": resized,
+                }
+            )
+
+    return media.filter("kind = 'image'").select("media_id", "payload").mapInPandas(fn, RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 4, use_fake: bool = False) -> DataFrame:
     """Frame sampling (1 media row -> N frame rows) via mapInPandas — the
     video analog of explode. The fake kernel slices the payload at fixed
