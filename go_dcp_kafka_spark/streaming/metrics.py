@@ -57,6 +57,18 @@ class MetricsRegistry:
         with self._lock:
             return dict(self._gauges)
 
+    def prometheus_text(self, namespace: str = "cbgo") -> str:
+        """Prometheus text exposition of the current gauges — what the
+        reference serves on its /metrics endpoint (collector.go builds
+        FQNames under the helpers.Name namespace). Serve this from any HTTP
+        handler; names match the reference's `<ns>_<gauge>` convention."""
+        lines = []
+        for name, value in sorted(self.snapshot().items()):
+            fq = f"{namespace}_{name}"
+            lines.append(f"# TYPE {fq} gauge")
+            lines.append(f"{fq} {value}")
+        return "\n".join(lines) + ("\n" if lines else "")
+
 
 class ConnectorQueryListener(StreamingQueryListener):
     """Publishes live per-micro-batch gauges from Spark's progress events.

@@ -73,3 +73,19 @@ def test_rejection_error_classes(spark, log_dir, tmp_path):
     # both outcomes occurred and oversize rows were excluded from the table
     tbl = pipe.read_table().toPandas()
     assert len(tbl) > 0, "threshold rejected everything — not a meaningful split"
+
+
+def test_prometheus_text_exposition():
+    """Prometheus exposition of the live gauges (the reference's /metrics
+    payload shape: <namespace>_<gauge name> value)."""
+    from go_dcp_kafka_spark.streaming.metrics import MetricsRegistry
+
+    reg = MetricsRegistry()
+    reg.set("kafka_connector_latency_ms_current", 12.5)
+    reg.set("batch_produce_latency_ms_current", 3.0)
+    text = reg.prometheus_text()
+    assert "# TYPE cbgo_kafka_connector_latency_ms_current gauge" in text
+    assert "cbgo_kafka_connector_latency_ms_current 12.5" in text
+    assert "cbgo_batch_produce_latency_ms_current 3.0" in text
+    assert text.endswith("\n")
+    assert MetricsRegistry().prometheus_text() == ""
