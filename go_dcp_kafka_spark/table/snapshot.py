@@ -43,6 +43,7 @@ The bucket function includes ``turn_idx`` deliberately: hot conversations
 
 from __future__ import annotations
 
+import contextlib
 import fcntl
 import json
 import os
@@ -188,9 +189,54 @@ class SnapshotTable:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, _MANIFEST)
 
+    def _hist_dir(self) -> str:
+        return os.path.join(self.path, "_manifests")
+
+    def _vfile(self, version: int) -> str:
+        return os.path.join(self._hist_dir(), f"v{version:06d}.json")
+
+    def _latest_version_on_disk(self) -> int:
+        """Highest committed version file. The per-version manifest files
+        are the AUTHORITATIVE commit record (each created atomically with
+        O_EXCL — exactly one winner per version); `_manifest.json` is a
+        read cache that may briefly trail under lock-less concurrency.
+
+        O(1), not O(#versions): a best-effort `_latest` pointer file plus
+        FORWARD PROBING (versions are dense — every commit is previous+1),
+        so a trailing pointer is healed by a few existence checks instead of
+        a directory listing that would grow with stream length."""
+        hist = self._hist_dir()
+        if not os.path.isdir(hist):
+            return 0
+        n = 0
+        ptr = os.path.join(hist, "_latest")
+        try:
+            with open(ptr) as f:
+                n = int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            n = 0
+        if n and not os.path.exists(self._vfile(n)):
+            # pointer ahead of reality (should not happen): full rescan
+            vs = [int(f[1:-5]) for f in os.listdir(hist) if f.startswith("v") and f.endswith(".json")]
+            n = max(vs, default=0)
+        while os.path.exists(self._vfile(n + 1)):
+            n += 1
+        return n
+
     def _load_manifest(self) -> dict[str, Any]:
         p = self._manifest_path()
-        if not os.path.exists(p):
+        m = None
+        if os.path.exists(p):
+            with open(p) as f:
+                m = json.load(f)
+        latest = self._latest_version_on_disk()
+        if latest > (m["version"] if m else 0):
+            # the cache trails the authoritative version files (possible
+            # only under lock-less multi-writer interleaving): resolve to
+            # the true latest
+            with open(os.path.join(self._hist_dir(), f"v{latest:06d}.json")) as f:
+                m = json.load(f)
+        if m is None:
             return {
                 "version": 0,
                 "num_buckets": self.num_buckets,
@@ -201,11 +247,10 @@ class SnapshotTable:
                 "epoch_watermarks": {},
                 "schema": self._default_schema.json() if self._default_schema else None,
             }
-        with open(p) as f:
-            m = json.load(f)
         self.num_buckets = m["num_buckets"]
         m.setdefault("deltas", [])
         m.setdefault("epoch_watermarks", {})
+        m.setdefault("committed_epochs", {})
         return m
 
     def _is_epoch_committed(self, m: dict[str, Any], epoch_id: str) -> bool:
@@ -252,42 +297,59 @@ class SnapshotTable:
 
     def _commit_manifest(self, manifest: dict[str, Any]) -> None:
         self._pre_commit()
-        # ---- optimistic-concurrency check: the manifest we are replacing
-        # must still be the version we loaded (manifest['version'] - 1).
-        # flock already serializes same-host writers; this CAS is what makes
-        # multi-host writers safe on shared storage.
-        expect = manifest["version"] - 1
-        p = self._manifest_path()
-        if os.path.exists(p):
-            with open(p) as f:
-                live_version = json.load(f)["version"]
-            if live_version != expect:
-                raise CommitConflictError(
-                    f"manifest moved to v{live_version} (expected v{expect}); retrying"
-                )
-        elif expect != 0:
-            raise CommitConflictError("manifest disappeared under writer")
-        # snapshot history: every committed manifest is also retained under
-        # _manifests/v{N}.json (the Iceberg snapshot-log analog) so past
-        # versions stay readable (time travel) until expire_snapshots.
-        # The history copy is SLIM — epoch bookkeeping lives only in the
-        # live manifest (time-travel readers never consult it), halving
-        # per-commit serialization and keeping history entries O(buckets).
-        hist = os.path.join(self.path, "_manifests")
+        # ---- the atomic commit: LINK the fully-written, fsync'd temp file
+        # to the per-version path under _manifests/. Hard-link creation is
+        # both ATOMIC (the v{N}.json name only ever names complete bytes — a
+        # writer crashing mid-serialization leaves only a stray .tmp, never a
+        # corrupt authoritative record) and EXCLUSIVE (EEXIST for every
+        # contender but one) — a true compare-and-swap, not a racy
+        # check-then-rename, so the CAS holds even with NO lock at all
+        # (cross-host writers on shared storage; the Delta-on-HDFS commit
+        # discipline — object-store deployments swap in conditional PUT,
+        # which is likewise atomic-full-object + exclusive). A fast-fail
+        # version probe first saves the serialization work on an
+        # already-lost race. Manifests are O(retention + buckets) thanks to
+        # the bounded epoch window, so per-commit serialization stays flat
+        # regardless of stream length.
+        latest = self._latest_version_on_disk()
+        if latest >= manifest["version"]:
+            raise CommitConflictError(
+                f"version v{latest} already committed (attempting v{manifest['version']}); retrying"
+            )
+        hist = self._hist_dir()
         os.makedirs(hist, exist_ok=True)
-        slim = {k: v for k, v in manifest.items() if k not in ("committed_epochs", "epoch_watermarks")}
-        with open(os.path.join(hist, f"v{manifest['version']:06d}.json"), "w") as f:
-            json.dump(slim, f)
-        tmp = p + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
+        vpath = os.path.join(hist, f"v{manifest['version']:06d}.json")
+        vtmp = vpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(vtmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, p)  # the atomic snapshot commit
+        try:
+            os.link(vtmp, vpath)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"lost the commit race for v{manifest['version']}; retrying"
+            ) from None
+        finally:
+            os.unlink(vtmp)
+        # refresh the read cache + latest pointer (both best-effort:
+        # _load_manifest resolves a trailing cache/pointer against the
+        # version files by forward probing)
+        p = self._manifest_path()
+        tmp = p + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, p)
+        ptmp = os.path.join(hist, f"_latest.tmp.{uuid.uuid4().hex[:8]}")
+        with open(ptmp, "w") as f:
+            f.write(str(manifest["version"]))
+        os.replace(ptmp, os.path.join(hist, "_latest"))
 
     # ---------------- read ----------------
     def exists(self) -> bool:
-        return os.path.exists(self._manifest_path())
+        # the cache is written after the authoritative version file, so a
+        # crash in between must not make a committed table look absent
+        return os.path.exists(self._manifest_path()) or self._latest_version_on_disk() > 0
 
     def version(self) -> int:
         return self._load_manifest()["version"]
@@ -347,18 +409,29 @@ class SnapshotTable:
                 manifest = json.load(f)
         m = manifest or self._load_manifest()
         base = self._read_base(m)
-        ddirs = []
-        for d in m.get("deltas", []):
-            root = os.path.join(self.path, d)
-            if os.path.isdir(root):
-                # leaf bucket dirs: avoids partition discovery across
-                # multiple delta roots (CONFLICTING_DIRECTORY_STRUCTURES)
-                ddirs += [
-                    os.path.join(root, e) for e in os.listdir(root) if e.startswith("_bucket=")
-                ]
-        if not ddirs:
+        delta_dfs = []
+        for entry in m.get("deltas", []):
+            # delta files are VERSION-INDEPENDENT (the LWW version is
+            # assigned here from the manifest entry, not baked into the
+            # bytes) so a commit conflict never forces a data rewrite
+            rel, ver = (entry["dir"], int(entry["v"])) if isinstance(entry, dict) else (entry, None)
+            root = os.path.join(self.path, rel)
+            if not os.path.isdir(root):
+                continue
+            # leaf bucket dirs: avoids partition discovery across
+            # multiple delta roots (CONFLICTING_DIRECTORY_STRUCTURES)
+            ddirs = [os.path.join(root, e) for e in os.listdir(root) if e.startswith("_bucket=")]
+            if not ddirs:
+                continue
+            df = self.spark.read.option("mergeSchema", "true").parquet(*sorted(ddirs))
+            if ver is not None:
+                df = df.withColumn("_v", F.lit(ver))
+            delta_dfs.append(df)
+        if not delta_dfs:
             return base
-        deltas = self.spark.read.option("mergeSchema", "true").parquet(*sorted(ddirs))
+        deltas = delta_dfs[0]
+        for df in delta_dfs[1:]:
+            deltas = deltas.unionByName(df, allowMissingColumns=True)
         base2 = base.withColumns({"_op": F.lit("u"), "_v": F.lit(0)})
         allr = base2.unionByName(deltas, allowMissingColumns=True)
         payload = [c for c in allr.columns if c not in (*self.key_cols, "_op", "_v")]
@@ -484,12 +557,13 @@ class SnapshotTable:
         resolve LWW by version (read()); ``compact()`` folds deltas into the
         base. Identical external semantics to merge(); write cost ∝ batch.
         This is the Iceberg MOR / equality-delete pattern."""
+        import time as _time
+
         epoch_id = str(epoch_id)
         m = self._load_manifest()
         if self._is_epoch_committed(m, epoch_id):
             return {"skipped": True, "epoch": epoch_id, "version": m["version"]}
-        new_version = m["version"] + 1
-        rel_dir = self._new_data_dir(new_version, delta=True)
+        rel_dir = self._new_data_dir(m["version"] + 1, delta=True)
         out_dir = os.path.join(self.path, rel_dir)
         bexpr = _bucket_expr(self.key_cols, self.num_buckets)
         rows = upserts.withColumn("_op", F.lit("u"))
@@ -498,7 +572,12 @@ class SnapshotTable:
                 delete_keys.select(*self.key_cols).withColumn("_op", F.lit("d")),
                 allowMissingColumns=True,
             )
-        rows = rows.withColumns({"_v": F.lit(new_version), "_bucket": bexpr})
+        # NOTE: no _v column in the bytes — the LWW version is assigned by
+        # the manifest entry at read time, which makes the written delta
+        # valid for ANY version number. A commit conflict therefore retries
+        # only the millisecond manifest CAS below, never this Spark write
+        # (high-frequency concurrent writers stay cheap under contention).
+        rows = rows.withColumn("_bucket", bexpr)
         # upserts come from the key-grouped fold: already bucket-aligned, no
         # repartition (deltas are small; one file per bucket per task)
         rows.write.option("compression", self.compression).partitionBy("_bucket").mode("overwrite").parquet(out_dir)
@@ -506,23 +585,37 @@ class SnapshotTable:
         # metadata read, zero extra Spark jobs (delta rows == LWW winners, so
         # this is the epoch's merged-key count)
         n_rows = _parquet_footer_rows(out_dir)
-        m["deltas"].append(rel_dir)
-        m["version"] = new_version
-        # record/merge the table schema: a MOR-only table must be readable
-        # by a fresh handle (no ctor schema), and an evolved column arriving
-        # in a delta widens the recorded schema without dropping old columns
         delta_schema = upserts.schema
-        if m.get("schema"):
-            merged = T.StructType.fromJson(json.loads(m["schema"]))
-            have = {f.name for f in merged.fields}
-            for f in delta_schema.fields:
-                if f.name not in have:
-                    merged = T.StructType([*merged.fields, f])
-            m["schema"] = merged.json()
-        else:
-            m["schema"] = delta_schema.json()
-        self._record_epoch(m, epoch_id, new_version)
-        self._commit_manifest(m)
+        for attempt in range(_OCC_MAX_RETRIES * 4):
+            m = self._load_manifest()
+            if self._is_epoch_committed(m, epoch_id):
+                # another instance landed this very epoch while we raced:
+                # our staged dir is an orphan (expire_snapshots GCs it)
+                return {"skipped": True, "epoch": epoch_id, "version": m["version"]}
+            new_version = m["version"] + 1
+            m["deltas"].append({"dir": rel_dir, "v": new_version})
+            m["version"] = new_version
+            # record/merge the table schema: a MOR-only table must be
+            # readable by a fresh handle (no ctor schema), and an evolved
+            # column arriving in a delta widens the recorded schema without
+            # dropping old columns
+            if m.get("schema"):
+                merged = T.StructType.fromJson(json.loads(m["schema"]))
+                have = {f.name for f in merged.fields}
+                for f in delta_schema.fields:
+                    if f.name not in have:
+                        merged = T.StructType([*merged.fields, f])
+                m["schema"] = merged.json()
+            else:
+                m["schema"] = delta_schema.json()
+            self._record_epoch(m, epoch_id, new_version)
+            try:
+                self._commit_manifest(m)
+                break
+            except CommitConflictError:
+                if attempt == _OCC_MAX_RETRIES * 4 - 1:
+                    raise
+                _time.sleep(_OCC_BACKOFF_SEC * min(attempt + 1, 5))
         return {
             "skipped": False,
             "epoch": epoch_id,
@@ -683,6 +776,12 @@ class SnapshotTable:
             for fname in snaps[:-keep_last] if keep_last else snaps:
                 if int(fname[1:-5]) != m["version"]:
                     os.remove(os.path.join(hist, fname))
+            # stray .tmp files from writers that crashed mid-serialization
+            # (the link-based commit means they are never authoritative)
+            for fname in os.listdir(hist):
+                if ".tmp." in fname:
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(hist, fname))
             for fname in sorted(os.listdir(hist)):
                 if fname.startswith("v") and fname.endswith(".json"):
                     retained_versions.add(int(fname[1:-5]))
@@ -707,7 +806,10 @@ class SnapshotTable:
         live = set()
         for man in retained:
             live |= {d.split("/")[1] for d in man["buckets"].values()}
-            live |= {d.split("/")[1] for d in man.get("deltas", [])}
+            live |= {
+                (d["dir"] if isinstance(d, dict) else d).split("/")[1]
+                for d in man.get("deltas", [])
+            }
         data_root = os.path.join(self.path, "data")
         if not os.path.isdir(data_root):
             return

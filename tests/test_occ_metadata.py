@@ -49,10 +49,11 @@ def test_manifest_stays_flat_over_1000_epochs(spark, tmp_path):
     early = sum(times[100:200]) / 100
     late = sum(times[-100:]) / 100
     assert late < early * 3, f"per-commit time grew: {early:.6f}s -> {late:.6f}s"
-    # history manifests are slim (no epoch bookkeeping)
+    # version files (the authoritative commit record) carry only the BOUNDED
+    # epoch window, so they are O(retention), not O(total epochs)
     with open(os.path.join(t.path, "_manifests", "v001000.json")) as f:
         hist = json.load(f)
-    assert "committed_epochs" not in hist and "epoch_watermarks" not in hist
+    assert len(hist["committed_epochs"]) <= 64
 
 
 def test_watermark_covers_evicted_epochs(spark, tmp_path):
@@ -177,6 +178,62 @@ def test_rebucket_preserves_state_and_merges(spark, tmp_path):
     t2.rebucket(8)
     final = {r["k"]: r["v"] for r in t2.read().collect()}
     assert final[3] == "M" and len(final) == 51
+
+
+def test_crash_between_vfile_and_cache_heals(spark, tmp_path):
+    """The per-version manifest file (created O_EXCL) is the authoritative
+    commit record; `_manifest.json` and `_manifests/_latest` are best-effort
+    read caches written AFTER it. A writer crashing in that window leaves a
+    trailing cache — readers must resolve to the true latest via forward
+    probing, and the next committer must take the NEXT version, not collide."""
+    t = _mk(spark, tmp_path)
+    df1 = spark.createDataFrame([(1, "v1")], ["k", "v"])
+    df2 = spark.createDataFrame([(2, "v2")], ["k", "v"])
+    t.merge(df1, None, epoch_id="s:0", n_updates=1)
+    t.merge(df2, None, epoch_id="s:1", n_updates=1)
+    # simulate the crash window: rewind cache + pointer to v1 while the
+    # authoritative v2 file survives
+    hist = os.path.join(t.path, "_manifests")
+    with open(os.path.join(hist, "v000001.json")) as f:
+        stale = f.read()
+    with open(t._manifest_path(), "w") as f:
+        f.write(stale)
+    with open(os.path.join(hist, "_latest"), "w") as f:
+        f.write("1")
+    fresh = SnapshotTable(spark, t.path, ("k",), 4)
+    m = fresh._load_manifest()
+    assert m["version"] == 2  # healed: cache/pointer trailed, vfile wins
+    assert fresh._is_epoch_committed(m, "s:1")  # incl. its epoch record
+    assert {r["k"]: r["v"] for r in fresh.read().collect()} == {1: "v1", 2: "v2"}
+    # next commit takes v3 (no collision with the orphaned v2)
+    res = fresh.merge(spark.createDataFrame([(3, "v3")], ["k", "v"]), None,
+                      epoch_id="s:2", n_updates=1)
+    assert res["version"] == 3
+    # a deleted pointer file is also healed (full probe from 0 still lands)
+    os.remove(os.path.join(hist, "_latest"))
+    assert SnapshotTable(spark, t.path, ("k",), 4)._load_manifest()["version"] == 3
+
+
+def test_crash_mid_serialization_leaves_no_corrupt_vfile(spark, tmp_path):
+    """The link-based commit means a writer dying mid-json.dump leaves only
+    a stray .tmp under _manifests/ — the authoritative v{N}.json name never
+    exists with partial bytes, so the table stays fully readable and the
+    next committer takes that same version. expire GCs the stray."""
+    t = _mk(spark, tmp_path)
+    t.merge(spark.createDataFrame([(1, "v1")], ["k", "v"]), None,
+            epoch_id="s:0", n_updates=1)
+    hist = os.path.join(t.path, "_manifests")
+    # simulate the crash: a half-written tmp for v2 that never got linked
+    with open(os.path.join(hist, "v000002.json.tmp.deadbeef"), "w") as f:
+        f.write('{"version": 2, "buck')  # truncated JSON
+    fresh = SnapshotTable(spark, t.path, ("k",), 4)
+    assert fresh._load_manifest()["version"] == 1  # stray tmp is invisible
+    assert {r["k"]: r["v"] for r in fresh.read().collect()} == {1: "v1"}
+    res = fresh.merge(spark.createDataFrame([(2, "v2")], ["k", "v"]), None,
+                      epoch_id="s:1", n_updates=1)
+    assert res["version"] == 2  # the crashed attempt's version is reused
+    fresh.expire_snapshots(keep_last=2)
+    assert not [f for f in os.listdir(hist) if ".tmp." in f]  # stray GC'd
 
 
 def test_occ_stress_four_lockless_writers(spark, tmp_path):
