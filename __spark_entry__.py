@@ -410,6 +410,47 @@ def q_doc_contamination(spark, sf_dir):
     return contamination_check(docs, bench, shingle_words=3)
 
 
+def q_doc_pii_mask(spark, sf_dir):
+    """PII scrubbing: deterministic synthetic PII (an email, SSN, phone, and
+    IPv4 derived from doc_id) appended to each doc, then masked by the fixed
+    regexp chain — a pure JVM-side projection (whole-stage codegen), no
+    shuffle, no UDF. The synthetic append makes the masking observable (the
+    corpus itself carries no PII) while staying oracle-reproducible."""
+    from go_dcp_kafka_spark.functions.corpus import pii_mask
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    withpii = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-123-4567 host 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" id 123-45-6789"),
+        ),
+    )
+    return pii_mask(withpii)
+
+
+def q_doc_pack_sequences(spark, sf_dir):
+    """Context-window packing (concat-then-split): global token offsets via
+    the DISTRIBUTED prefix sum (range partition -> per-partition window ->
+    broadcast partition bases) — never a single-partition Window.orderBy."""
+    from go_dcp_kafka_spark.functions.corpus import pack_sequences
+
+    return pack_sequences(_read(spark, sf_dir, "documents"), window_tokens=2048)
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (8h gap) + per-session rollup over the
+    events table — windows partitioned by user_id (one hash shuffle), time
+    math on floor-epoch-seconds for engine-portable boundaries."""
+    from go_dcp_kafka_spark.operators.sessionize import session_stats
+
+    return session_stats(_read(spark, sf_dir, "events"), gap_seconds=28800)
+
+
 def q_doc_clean_corpus(spark, sf_dir):
     """END-TO-END corpus cleaning — the materialization a training pipeline
     actually ships: keep a doc iff (1) it is the keeper (min doc_id) of its
@@ -606,6 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_split_assign": q_doc_split_assign,
         "doc_contamination": q_doc_contamination,
+        "doc_pii_mask": q_doc_pii_mask,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "events_sessionize": q_events_sessionize,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
@@ -625,6 +669,27 @@ _H31 = f"({_H60} % {P})"
 
 def _words(x: str) -> str:
     return f"regexp_extract_all(lower({x}), '[^\\s]+')"
+
+
+def _pii_sql() -> str:
+    """DuckDB twin of pii_mask over the same synthetic-PII input: the exact
+    PII_PATTERNS chain, applied in order, each level counting on the input
+    of that level (sequential fold semantics match the Spark expression)."""
+    from go_dcp_kafka_spark.functions.corpus import PII_PATTERNS
+
+    synth = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com or 555-123-4567 host 10.0.0.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || ' id 123-45-6789'"
+    )
+    sql = f"SELECT doc_id, {synth} AS s, 0 AS n FROM documents"
+    for _name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        sql = (
+            f"SELECT doc_id, regexp_replace(s, '{p}', '{repl}', 'g') AS s, "
+            f"n + len(regexp_extract_all(s, '{p}')) AS n FROM ({sql})"
+        )
+    return f"SELECT doc_id, s AS masked, CAST(n AS BIGINT) AS n_pii FROM ({sql})"
 
 
 def _shingles(x: str, k: int) -> str:
@@ -1004,6 +1069,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, unnest(list_distinct({_shingles("text", 3)})) AS s
                       FROM documents WHERE doc_id >= 20))
             SELECT doc_id, count(*) AS n_hits FROM c JOIN b USING (sh_h) GROUP BY doc_id
+        """,
+        "doc_pii_mask": _pii_sql(),
+        "doc_pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT) AS n_tokens
+                FROM documents),
+            o AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS global_off
+                FROM t)
+            SELECT doc_id, n_tokens, global_off,
+                   CAST(global_off // 2048 AS BIGINT) AS window_id,
+                   CAST(global_off % 2048 AS BIGINT) AS offset_in_window
+            FROM o
+        """,
+        "events_sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, ts,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events),
+            s AS (
+                SELECT user_id, event_id, ts, sec,
+                       CASE WHEN lag(sec) OVER w IS NULL THEN 0
+                            WHEN sec - lag(sec) OVER w > 28800 THEN 1 ELSE 0 END AS is_new
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            x AS (
+                SELECT user_id, sec,
+                       CAST(SUM(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+                FROM s)
+            SELECT user_id, session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+            FROM x GROUP BY user_id, session_idx
         """,
         "emb_cosine_topk": f"""
             SELECT e.vec_id, CAST({_COS} AS DOUBLE) AS cosine

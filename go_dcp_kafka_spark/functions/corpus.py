@@ -1,5 +1,6 @@
 """Corpus-level operators for training-data pipelines: vocabulary building,
-deterministic dataset splits, and benchmark decontamination.
+deterministic dataset splits, benchmark decontamination, PII scrubbing, and
+context-window sequence packing.
 
 Each is Spark-first and scale-shaped:
 
@@ -11,16 +12,22 @@ Each is Spark-first and scale-shaped:
 - contamination:  benchmark n-gram set is SMALL -> broadcast hash join
                   against the exploded corpus shingles; the corpus is never
                   shuffled, the benchmark never collected per-row
+- pii_mask:       pure projection — a fixed chain of JVM-side regexp_replace
+                  (whole-stage codegen), zero shuffles, zero Python
+- pack_sequences: distributed exclusive prefix-sum (range partition ->
+                  per-partition window -> broadcast of P partition bases) —
+                  the single-partition Window.orderBy trap is exactly what
+                  this avoids at 10^10 docs
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from go_dcp_kafka_spark.functions.dedup_text import _word_shingles
 from go_dcp_kafka_spark.functions.hashing import md5_hash60
-from go_dcp_kafka_spark.functions.textstats import WS_TOKEN_RE
+from go_dcp_kafka_spark.functions.textstats import WS_TOKEN_RE, token_count_ws
 
 
 def vocab_topk(docs: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
@@ -98,4 +105,98 @@ def contamination_check(
         corpus_sh.join(F.broadcast(bench_sh), "sh_h")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
+    )
+
+
+#: (name, pattern, replacement) applied IN ORDER — each pattern counts and
+#: masks the output of the previous one, so the fold is well-defined and
+#: reproducible in any regex engine that finds leftmost non-overlapping
+#: matches (Java here, RE2 in the DuckDB oracle). Patterns stay inside the
+#: dialect intersection: \b, \d, bounded repetition, char classes.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def pii_mask(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing (emails, SSNs, phone numbers, IPv4s) — the redaction
+    pass every LLM training pipeline runs before tokenization. Returns
+    (id, masked, n_pii) where ``n_pii`` counts masked spans.
+
+    Scale shape: a pure projection — a fixed regexp_count/regexp_replace
+    chain evaluated JVM-side inside whole-stage codegen. No shuffle, no UDF,
+    no Python: at 100 TB this is scan-bound, exactly like textstats."""
+    masked = F.col(text_col)
+    n_pii = F.lit(0)
+    for _name, pat, repl in PII_PATTERNS:
+        n_pii = n_pii + F.regexp_count(masked, F.lit(pat))
+        masked = F.regexp_replace(masked, pat, repl)
+    return docs.select(
+        F.col(id_col), masked.alias("masked"), n_pii.cast("long").alias("n_pii")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Context-window sequence packing, concat-then-split flavor: documents
+    are laid end-to-end in ``id_col`` order and cut into fixed
+    ``window_tokens`` windows — each doc gets its global token offset, the
+    window it starts in, and its offset inside that window (what a
+    pretraining loader needs to pack batches without padding).
+
+    The global offset is an EXCLUSIVE PREFIX SUM over a total order — naively
+    ``Window.orderBy(id)`` which Spark executes on a SINGLE partition (the
+    classic scale trap). Instead, the distributed prefix-sum:
+
+    1. ``repartitionByRange(id)`` — partitions are contiguous id ranges, so
+       partition order == global order;
+    2. per-partition exclusive cumsum (Window PARTITIONED by pid — parallel);
+    3. per-partition totals (P rows) get their own exclusive cumsum on the
+       driver-scale frame, then broadcast-join back as each partition's base.
+
+    Per-row work is O(1), the only wide op is the range partition, and the
+    P-row totals frame is the sole driver-scale state — holds at 10^10 docs.
+    ``localCheckpoint`` pins one materialization so steps 2 and 3 see
+    identical partitioning."""
+    p = num_parts or docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(
+        F.col(id_col), token_count_ws(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    ranged = (
+        base.repartitionByRange(p, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    local = ranged.withColumn(
+        "_loc", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    # P rows total: the single-partition window here is driver-scale by
+    # construction (one row per partition), never data-scale
+    w_tot = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_t"))
+        .withColumn("_base", F.coalesce(F.sum("_t").over(w_tot), F.lit(0)))
+        .select("_pid", "_base")
+    )
+    return (
+        local.join(F.broadcast(bases), "_pid")
+        .withColumn("global_off", F.col("_loc") + F.col("_base"))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("global_off"),
+            # integer-exact: DIV avoids double rounding at 10^15+ offsets
+            F.expr(f"global_off DIV {int(window_tokens)}").alias("window_id"),
+            (F.col("global_off") % window_tokens).alias("offset_in_window"),
+        )
     )

@@ -192,3 +192,101 @@ def test_corpus_ops_shapes_and_invariants(spark):
     assert plan.count("Exchange hashpartitioning") <= 3
     # benchmark docs themselves are excluded from the report
     assert cont.filter(F.col("doc_id") < 5).count() == 0
+
+
+def test_pii_mask_semantics(spark):
+    """Each pattern class masks; counts reflect masked spans; clean text
+    passes through untouched; the whole op is a no-shuffle projection."""
+    from go_dcp_kafka_spark.functions.corpus import pii_mask
+
+    rows = [
+        (0, "reach me at bob.smith+x@corp.example.org thanks"),
+        (1, "ssn 123-45-6789 phone 555-123-4567 and 555.987.6543"),
+        (2, "server at 192.168.1.254 port 8080"),
+        (3, "no pii here, just 2048 tokens and v1.2 notes"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pii_mask(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert out[0]["masked"] == "reach me at [EMAIL] thanks" and out[0]["n_pii"] == 1
+    assert out[1]["masked"] == "ssn [SSN] phone [PHONE] and [PHONE]"
+    assert out[1]["n_pii"] == 3
+    assert out[2]["masked"] == "server at [IP] port 8080" and out[2]["n_pii"] == 1
+    assert out[3]["masked"] == rows[3][1] and out[3]["n_pii"] == 0
+    # pure projection: no exchange in the plan
+    plan = (
+        pii_mask(spark.createDataFrame(rows, ["doc_id", "text"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_prefix_sum(spark):
+    """Offsets are the exclusive prefix sum in doc_id order — contiguous,
+    gapless, window math exact — and the data-scale side never collapses to
+    a single-partition window (the RangePartitioning carries the order)."""
+    from go_dcp_kafka_spark.functions.corpus import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = (
+        pack_sequences(docs, window_tokens=64, num_parts=8)
+        .orderBy("doc_id")
+        .collect()
+    )
+    off = 0
+    for r in out:
+        assert r["global_off"] == off, (r, off)
+        assert r["window_id"] == off // 64
+        assert r["offset_in_window"] == off % 64
+        off += r["n_tokens"]
+    # plan shape: the data-scale window is PARTITIONED (parallel, hashed by
+    # _pid); the only single-partition exchange is the P-row bases frame.
+    # (The range exchange itself is materialized by localCheckpoint, so it
+    # does not appear in this downstream plan string.)
+    plan = (
+        pack_sequences(docs, window_tokens=64, num_parts=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .lower()
+    )
+    assert "hashpartitioning(_pid" in plan
+    assert plan.count("singlepartition") <= 2
+
+
+def test_sessionize_gap_semantics(spark):
+    """Session boundaries open strictly on gap > threshold, per key;
+    stats aggregate per (key, session)."""
+    import datetime as dt
+
+    from go_dcp_kafka_spark.operators.sessionize import session_stats, sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: 3 events in one session, then a 2h gap -> new session
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(minutes=10)),
+        (3, 1, t0 + dt.timedelta(minutes=20)),
+        (4, 1, t0 + dt.timedelta(hours=2, minutes=21)),
+        # user 2: single event
+        (5, 2, t0),
+        # user 3: gap EXACTLY at threshold stays in-session (strict >)
+        (6, 3, t0),
+        (7, 3, t0 + dt.timedelta(seconds=1800)),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 0, 6: 0, 7: 0}
+    stats = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_sec"])
+        for r in session_stats(ev, gap_seconds=1800).collect()
+    }
+    assert stats[(1, 0)] == (3, 1200) and stats[(1, 1)] == (1, 0)
+    assert stats[(2, 0)] == (1, 0)
+    assert stats[(3, 0)] == (2, 1800)
