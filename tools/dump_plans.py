@@ -95,6 +95,37 @@ def main() -> None:
         "have, and the reason the corpus is materialized partitionBy(cell).",
     )
 
+    from go_dcp_kafka_spark.functions.corpus import pack_sequences, pii_mask
+    from go_dcp_kafka_spark.operators.sessionize import session_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cap(
+        "PII masking (pure projection)",
+        pii_mask(docs),
+        "The whole regexp_count/regexp_replace chain is a single Project "
+        "inside one WholeStageCodegen span over the scan — zero exchanges, "
+        "zero Python. At 100 TB this is scan-bound.",
+    )
+    cap(
+        "Sequence packing (distributed exclusive prefix-sum)",
+        pack_sequences(docs, window_tokens=2048, num_parts=4),
+        "Global token offsets WITHOUT a single-partition global window: the "
+        "range exchange is materialized by localCheckpoint (Scan ExistingRDD "
+        "here); the data-scale Window is PARTITIONED by _pid (parallel); the "
+        "only SinglePartition exchange carries the P-row partition-bases "
+        "frame, which broadcast-joins back. Per-row work is O(1).",
+    )
+    cap(
+        "Sessionization + per-session rollup",
+        session_stats(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+            gap_seconds=28800,
+        ),
+        "One hash exchange on user_id feeds the lag/cumsum windows; the "
+        "per-session groupBy partial-aggregates map-side on the same key "
+        "prefix. No global sort, no driver state.",
+    )
+
     out = (
         "# PLANS — physical plans of the core operators (captured from .explain)\n\n"
         "Regenerate: `python tools/dump_plans.py` (this file).\n\n" + "\n".join(sections)
