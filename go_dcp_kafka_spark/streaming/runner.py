@@ -200,6 +200,18 @@ class CdcPipeline:
                 .agg(
                     F.sum(F.when(is_rb, 1).otherwise(0)).alias("n_rollbacks"),
                     F.min(F.when(is_rb, F.col("rollback_point"))).alias("rb_point"),
+                    # full marker rows ride along in the SAME job (tiny —
+                    # a handful per partition): the rollback path below
+                    # never re-scans the batch to find them
+                    F.collect_list(
+                        F.when(
+                            is_rb,
+                            F.struct(
+                                F.col("rollback_point").alias("rb_point"),
+                                F.col("delivery_seq").alias("rb_delivery"),
+                            ),
+                        )
+                    ).alias("rb_markers"),
                     F.sum(F.when(~is_rb & ~is_fresh, 1).otherwise(0)).alias("n_duplicates_dropped"),
                     F.min(F.when(is_fresh, F.col("seqno"))).alias("first_seqno"),
                     F.max(F.when(is_fresh, F.col("seqno"))).alias("last_seqno"),
@@ -215,10 +227,27 @@ class CdcPipeline:
             marker_rows: list[tuple[int, int]] = []
             if int(stats_pd["n_rollbacks"].sum()) > 0:
                 # ---- rollback truncation (T5): the rare, precise path -----
-                markers = extract_rollback_markers(batch_df)
-                marker_rows = [(int(r["rb_partition_id"]), int(r["rb_point"])) for r in markers.collect()]
+                # marker rows came back WITH the stats job (rb_markers) —
+                # no second scan of the batch to extract them
+                full_markers: list[tuple[int, int, int]] = []
+                for _, srow in stats_pd.iterrows():
+                    for m in srow["rb_markers"] or []:
+                        full_markers.append(
+                            (int(srow["partition_id"]), int(m["rb_point"]), int(m["rb_delivery"]))
+                        )
+                marker_rows = [(p, rbp) for p, rbp, _ in full_markers]
                 for p, rbp in marker_rows:
                     eff[p] = min(eff.get(p, -1), rbp)
+                markers = spark.createDataFrame(
+                    full_markers,
+                    T.StructType(
+                        [
+                            T.StructField("rb_partition_id", T.IntegerType()),
+                            T.StructField("rb_point", T.LongType()),
+                            T.StructField("rb_delivery", T.LongType()),
+                        ]
+                    ),
+                )
                 live = apply_rollbacks(batch_df, markers)
                 # recompute stats for the affected partitions only
                 mparts = sorted({p for p, _ in marker_rows})
@@ -239,12 +268,15 @@ class CdcPipeline:
                 )
                 keep = stats_pd[~stats_pd["partition_id"].isin(mparts)]
                 redo["n_rollbacks"] = 1
-                redo["rb_point"] = redo["partition_id"].map(dict(marker_rows))
+                rb_min: dict[int, int] = {}
+                for p, rbp in marker_rows:
+                    rb_min[p] = min(rb_min.get(p, rbp), rbp)
+                redo["rb_point"] = redo["partition_id"].map(rb_min)
                 stats_pd = pd.concat([keep, redo], ignore_index=True)
             else:
                 live = batch_df.filter(F.col("op") != OP_ROLLBACK)
 
-            stats_pd = stats_pd.drop(columns=["n_rollbacks", "rb_point"])
+            stats_pd = stats_pd.drop(columns=["n_rollbacks", "rb_point", "rb_markers"], errors="ignore")
             hwm_df = _hwm_df(eff)
             fresh = hwm_filter(live, hwm_df)
 

@@ -58,6 +58,11 @@ def run(cpus: int, n_events: int, reps: int = 2) -> dict:
     per-mode best filters the host's minute-to-minute speed drift, applied
     SYMMETRICALLY at both parallelism levels."""
     runs = [run_once(cpus, n_events)["cdc"] for _ in range(reps)]
+    return best_of(runs)
+
+
+def best_of(runs: list[dict]) -> dict:
+    """Per-mode best across runs (symmetric at both parallelism levels)."""
     best = dict(runs[0])
     for r in runs[1:]:
         for mode in ("batch", "stream", "stream_mor"):
@@ -105,8 +110,17 @@ def main() -> None:
     n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     factor = n_hi / n_lo
     cal = calibrate()
-    r_lo = run(n_lo, n_events)["cdc"]
-    r_hi = run(n_hi, n_events)["cdc"]
+    # INTERLEAVE the two parallelism levels (lo,hi,lo,hi) so the host's
+    # minute-scale speed drift lands on BOTH levels, not just whichever ran
+    # second — an all-lo-then-all-hi schedule lets one slow window silently
+    # deflate (or inflate) the efficiency ratio by ±25%
+    reps = 2
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run_once(n_lo, n_events)["cdc"])
+        runs_hi.append(run_once(n_hi, n_events)["cdc"])
+    r_lo = best_of(runs_lo)["cdc"]
+    r_hi = best_of(runs_hi)["cdc"]
 
     batch_eff = (r_hi["batch_events_per_sec"] / r_lo["batch_events_per_sec"]) / factor
     stream_eff = (r_hi["stream_events_per_sec"] / r_lo["stream_events_per_sec"]) / factor
