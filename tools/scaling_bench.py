@@ -147,7 +147,11 @@ keys + text normalization. Input: {r_lo["n_events"]:,} change events ->
 Each number is the BEST OF 2 steady-state runs (separate JVMs per run; each
 run internally reports the last of 3 warmed reps for batch), applied
 symmetrically at both levels — the round-1 methodology committed one cold
-sample and under-reported its own 0.79-0.83 steady-state probe.
+sample and under-reported its own 0.79-0.83 steady-state probe. Runs are
+INTERLEAVED across the two levels (N, 4N, N, 4N) so the host's minute-scale
+speed drift lands on both levels instead of silently deflating or inflating
+the ratio (an efficiency slightly above 1.0 is that same drift landing on
+the N side — read it as "~1.0 within host noise", not superlinearity).
 
 Input size matters: efficiency is measured at the sustained-throughput
 design point the metric names (10^10 events). Per-run fixed costs (stage
