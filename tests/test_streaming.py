@@ -237,3 +237,39 @@ def test_batch_replay_hwm_survives_rollback_handoff(spark, stream_case, tmp_path
     pipe.apply_batch(tail, 1)
     got = pipe.read_table().filter(F.col("conv_id") == "conv-handoff").collect()
     assert len(got) == 1 and got[0]["text"] == "post-rollback tail"
+
+
+def test_rollback_epoch_never_rescans_for_markers(spark, tmp_path, monkeypatch):
+    """Rollback markers ride back WITH the fused stats aggregation
+    (collect_list of control rows) — the epoch body must never call
+    extract_rollback_markers, which would be a second full scan of the
+    batch at scale. Pinned by making that call explode."""
+    import datetime as dt
+
+    import go_dcp_kafka_spark.streaming.runner as runner_mod
+    from go_dcp_kafka_spark.schema import CHANGE_EVENT_SCHEMA
+
+    def boom(*_a, **_k):
+        raise AssertionError("epoch body re-scanned the batch for markers")
+
+    monkeypatch.setattr(runner_mod, "extract_rollback_markers", boom)
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        # (partition, seqno, delivery, op, conv, turn, rev, evt, role, text, tool, ts, rb_point)
+        (0, 1, 0, "mutation", "c0", 0, 0, None, "user", "old-1", None, ts, None),
+        (0, 2, 1, "mutation", "c0", 1, 1, None, "user", "old-2", None, ts, None),
+        (0, 2, 2, "rollback", None, None, None, None, None, None, None, ts, 1),
+        (0, 2, 3, "mutation", "c0", 1, 2, None, "user", "new-2", None, ts, None),
+        (1, 1, 4, "mutation", "c1", 0, 3, None, "user", "p1-keep", None, ts, None),
+    ]
+    batch = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    pipe = _fresh_pipeline(spark, tmp_path)
+    pipe.apply_batch(batch, 0)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in pipe.read_table().collect()
+    }
+    # the pre-marker branch ("old-2", delivered before the marker, seqno > 1)
+    # is invalidated; the re-streamed "new-2" survives; partition 1 untouched
+    assert got == {("c0", 0): "old-1", ("c0", 1): "new-2", ("c1", 0): "p1-keep"}
+    assert pipe.checkpoints.hwm_map()[0] == 2
