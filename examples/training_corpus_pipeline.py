@@ -1,0 +1,77 @@
+"""Training-corpus pipeline — CDC-ingested transcripts to packed sequences.
+
+The end-to-end composition the engine exists for: replay a change log into
+the transcripts table (exactly-once fold), then run the corpus side over
+the resulting texts — quality profile, PII scrubbing, exact-dedup keepers,
+stable train/val/test split, and context-window sequence packing. Every
+stage is a verified operator (see SURVEY.md §2 / __spark_entry__.py); this
+file just chains them the way a pretraining data pipeline would.
+
+Run: python examples/training_corpus_pipeline.py
+"""
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from go_dcp_kafka_spark import get_spark
+from go_dcp_kafka_spark.functions.corpus import pack_sequences, pii_mask, split_assign
+from go_dcp_kafka_spark.functions.dedup_text import exact_duplicates
+from go_dcp_kafka_spark.functions.textstats import text_profile
+from go_dcp_kafka_spark.gen import GenConfig, generate_change_events, write_change_log
+from go_dcp_kafka_spark.streaming.runner import CdcPipeline
+
+
+def main() -> None:
+    spark = get_spark("training-corpus", master="local[4]", shuffle_partitions=8)
+    work = tempfile.mkdtemp(prefix="corpus_ex_")
+
+    # 1. CDC ingest: replay the change log into the keyed transcripts table
+    res = generate_change_events(GenConfig(seed=7, n_convs=120, n_partitions=8))
+    log_dir = f"{work}/log"
+    write_change_log(res.events, log_dir, n_files=4,
+                     evolution_boundary=res.meta["evolution_boundary"])
+    pipe = CdcPipeline(spark, f"{work}/table", run_id="corpus")
+    pipe.run_batch_replay(log_dir)
+
+    # 2. Corpus view: one doc per conversation turn (doc_id = stable key)
+    docs = pipe.read_table().select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+        "text",
+    )
+
+    # 3. Quality + dedup + PII, all Spark-side (no Python in the hot path)
+    quality = text_profile(docs, text_col="text").select("doc_id", "quality")
+    keepers = exact_duplicates(docs, min_copies=1).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    clean = (
+        pii_mask(docs, id_col="doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.2)
+    )
+
+    # 4. Stable split + context-window packing of the train shard
+    split = split_assign(clean, id_col="doc_id")
+    train = clean.join(split.filter(F.col("split") == "train"), "doc_id", "left_semi")
+    packed = pack_sequences(
+        train.select("doc_id", F.col("masked").alias("text")),
+        window_tokens=256, id_col="doc_id",
+    )
+
+    n_docs, n_clean = docs.count(), clean.count()
+    agg = packed.agg(
+        F.sum("n_tokens").alias("tokens"), F.max("window_id").alias("max_win")
+    ).collect()[0]
+    print(f"transcript docs: {n_docs}, clean: {n_clean}, "
+          f"train tokens: {agg['tokens']}, context windows: {agg['max_win'] + 1}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
