@@ -451,6 +451,20 @@ def q_events_sessionize(spark, sf_dir):
     return session_stats(_read(spark, sf_dir, "events"), gap_seconds=28800)
 
 
+def q_events_windowed_rates(spark, sf_dir):
+    """Event-time tumbling-window rates (1h windows per event_type) via the
+    SAME operator the streaming path uses with a watermark — batch mode
+    makes withWatermark a no-op, so the window aggregation itself is
+    oracle-checkable (DuckDB time_bucket twin)."""
+    from go_dcp_kafka_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(
+        _read(spark, sf_dir, "events"),
+        window_duration="1 hour",
+        key_col="event_type",
+    )
+
+
 def q_doc_clean_corpus(spark, sf_dir):
     """END-TO-END corpus cleaning — the materialization a training pipeline
     actually ships: keep a doc iff (1) it is the keeper (min doc_id) of its
@@ -650,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_mask": q_doc_pii_mask,
         "doc_pack_sequences": q_doc_pack_sequences,
         "events_sessionize": q_events_sessionize,
+        "events_windowed_rates": q_events_windowed_rates,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
@@ -1107,6 +1122,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
             FROM x GROUP BY user_id, session_idx
+        """,
+        "events_windowed_rates": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2, 3
         """,
         "emb_cosine_topk": f"""
             SELECT e.vec_id, CAST({_COS} AS DOUBLE) AS cosine
