@@ -271,3 +271,62 @@ def test_occ_stress_four_lockless_writers(spark, tmp_path):
     for w in range(4):
         for e in range(3):
             assert reader._is_epoch_committed(m, f"w{w}:{e}")
+
+
+def test_compact_races_lockless_writers(spark, tmp_path):
+    """Compaction racing concurrent lock-less writers (the production shape:
+    compact_every fires on one instance while others keep committing
+    epochs). The CAS makes every interleaving safe: a compactor losing the
+    race re-reads the new delta and folds it; a writer losing to the
+    compactor re-appends its version-independent delta. Final state must
+    contain every write exactly once."""
+    import threading
+    import time as _t
+
+    path = str(tmp_path / "t")
+    # seed the table so compact() has a base + deltas to fold
+    seed = SnapshotTable(spark, path, ("k",), 4)
+    seed.merge_mor(spark.createDataFrame([(999, "seed")], ["k", "v"]), None, epoch_id="seed:0")
+    errors = []
+
+    def writer(w: int):
+        try:
+            t = SnapshotTable(spark, path, ("k",), 4)
+            t._write_lock = _noop_lock
+            for e in range(4):
+                df = spark.createDataFrame([(w * 10 + e, f"w{w}e{e}")], ["k", "v"])
+                assert t.merge_mor(df, None, epoch_id=f"w{w}:{e}")["skipped"] is False
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def compactor():
+        try:
+            t = SnapshotTable(spark, path, ("k",), 4)
+            t._write_lock = _noop_lock
+            for _ in range(3):
+                t.compact()
+                _t.sleep(0.1)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
+    threads.append(threading.Thread(target=compactor))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    reader = SnapshotTable(spark, path, ("k",), 4)
+    state = {r["k"]: r["v"] for r in reader.read().collect()}
+    expect = {w * 10 + e: f"w{w}e{e}" for w in range(2) for e in range(4)}
+    expect[999] = "seed"
+    assert state == expect
+    m = reader._load_manifest()
+    for w in range(2):
+        for e in range(4):
+            assert reader._is_epoch_committed(m, f"w{w}:{e}")
+    # a final compact folds everything; state unchanged
+    reader.compact()
+    assert {r["k"]: r["v"] for r in reader.read().collect()} == expect
+    assert reader._load_manifest()["deltas"] == []
