@@ -756,7 +756,7 @@ class SnapshotTable:
         return {"version": new_version, "num_buckets": new_num_buckets}
 
     @_locked
-    def expire_snapshots(self, keep_last: int = 2) -> None:
+    def expire_snapshots(self, keep_last: int = 2, orphan_grace_sec: float = 3600.0) -> None:
         """Iceberg snapshot-expiry analog: drop all but the last
         ``keep_last`` snapshot manifests (the current one always survives),
         then GC every data dir not reachable from a RETAINED manifest —
@@ -766,15 +766,37 @@ class SnapshotTable:
         snapshots are pruned from the live manifest too (their idempotence
         is carried by the stream watermark). (The reference's checkpoint
         'Clear' is a no-op because topic compaction GCs for it —
-        kafka_metadata.go:131-133.)"""
+        kafka_metadata.go:131-133.)
+
+        ``orphan_grace_sec``: an unreachable dir younger than this survives.
+        A lock-less cross-host writer STAGES its data dir before the
+        manifest CAS — in that window the dir is unreachable from every
+        manifest, and GC-ing it would destroy data about to be committed
+        (the Iceberg orphan-file race; Iceberg's RemoveOrphanFiles defaults
+        to a 3-day grace for the same reason). Pass 0 only when no
+        concurrent writers can exist (tests, single-writer maintenance)."""
+        import time as _time
         m = self._load_manifest()
         hist = os.path.join(self.path, "_manifests")
         retained = [m]
         retained_versions = {m["version"]}
+        expired_refs: set[str] = set()
         if os.path.isdir(hist):
             snaps = sorted(f for f in os.listdir(hist) if f.startswith("v") and f.endswith(".json"))
             for fname in snaps[:-keep_last] if keep_last else snaps:
                 if int(fname[1:-5]) != m["version"]:
+                    # dirs referenced by an expired manifest were COMMITTED:
+                    # no writer will re-commit them, so (unless a retained
+                    # manifest also references them) they are deletable
+                    # immediately — the orphan grace is only for dirs no
+                    # manifest has ever named
+                    with open(os.path.join(hist, fname)) as f:
+                        old = json.load(f)
+                    expired_refs |= {d.split("/")[1] for d in old.get("buckets", {}).values()}
+                    expired_refs |= {
+                        (d["dir"] if isinstance(d, dict) else d).split("/")[1]
+                        for d in old.get("deltas", [])
+                    }
                     os.remove(os.path.join(hist, fname))
             # stray .tmp files from writers that crashed mid-serialization
             # (the link-based commit means they are never authoritative)
@@ -813,9 +835,23 @@ class SnapshotTable:
         data_root = os.path.join(self.path, "data")
         if not os.path.isdir(data_root):
             return
+        now = _time.time()
         for v in sorted(os.listdir(data_root)):
-            if v not in live:
-                shutil.rmtree(os.path.join(data_root, v), ignore_errors=True)
+            if v in live:
+                continue
+            full = os.path.join(data_root, v)
+            if v in expired_refs:
+                shutil.rmtree(full, ignore_errors=True)  # committed + expired
+                continue
+            # never referenced by any manifest: a losing-CAS orphan — or a
+            # concurrent writer's STAGED dir about to be committed. Only the
+            # grace period tells them apart.
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # vanished under us (concurrent GC): fine
+            if age >= orphan_grace_sec:
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def _parquet_footer_rows(out_dir: str) -> int:

@@ -128,9 +128,15 @@ def test_occ_conflict_detected_and_retried(spark, tmp_path):
     assert state == {1: "from-a", 2: "from-b"}
     m = a._load_manifest()
     assert a._is_epoch_committed(m, "a:1") and a._is_epoch_committed(m, "b:1")
-    # A's losing attempt staged an orphan data dir; expiry GCs it
+    # A's losing attempt staged an orphan data dir. Under the DEFAULT
+    # grace it survives expiry (it is indistinguishable from a concurrent
+    # writer's staged-but-not-yet-committed dir — the Iceberg orphan race);
+    # with grace 0 (no concurrent writers) it is GC'd.
     a.expire_snapshots(keep_last=1)
     live = {d.split("/")[1] for d in a._load_manifest()["buckets"].values()}
+    on_disk = set(os.listdir(os.path.join(str(path), "data")))
+    assert on_disk > live  # orphan retained by the grace period
+    a.expire_snapshots(keep_last=1, orphan_grace_sec=0)
     on_disk = set(os.listdir(os.path.join(str(path), "data")))
     assert on_disk == live
 
@@ -330,3 +336,36 @@ def test_compact_races_lockless_writers(spark, tmp_path):
     reader.compact()
     assert {r["k"]: r["v"] for r in reader.read().collect()} == expect
     assert reader._load_manifest()["deltas"] == []
+
+
+def test_expire_grace_protects_staged_dirs_but_gcs_expired_snapshots(spark, tmp_path):
+    """Three classes of unreachable data dirs under expiry:
+    - referenced by an EXPIRED manifest (committed history): GC'd
+      immediately, any age — no writer can re-commit them;
+    - referenced by a RETAINED manifest: kept (time travel);
+    - referenced by NO manifest (a concurrent writer's staged dir, or a
+      losing-CAS orphan): kept inside the grace window — deleting a staged
+      dir would destroy data its writer is about to commit."""
+    t = _mk(spark, tmp_path)
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    for e in range(4):
+        t.merge(df, None, epoch_id=f"s:{e}", n_updates=1)
+    data_root = os.path.join(t.path, "data")
+    before = set(os.listdir(data_root))
+    # simulate a concurrent writer's freshly staged (uncommitted) dir
+    staged = os.path.join(data_root, "deadbeefstaged")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-0.parquet"), "w") as f:
+        f.write("x")
+    t.expire_snapshots(keep_last=2)  # default grace
+    after = set(os.listdir(data_root))
+    assert "deadbeefstaged" in after  # staged dir survives
+    assert len(after - {"deadbeefstaged"}) < len(before)  # expired snapshots GC'd
+    # retained snapshots still time-travel readable
+    vs = t.versions()
+    assert len(vs) == 2
+    assert {r["k"] for r in t.read(version=vs[0]).collect()} == {1}
+    # aged-out orphan: backdate the staged dir past the grace and expire
+    os.utime(staged, (1_600_000_000, 1_600_000_000))
+    t.expire_snapshots(keep_last=2)
+    assert "deadbeefstaged" not in set(os.listdir(data_root))
