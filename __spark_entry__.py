@@ -410,6 +410,16 @@ def q_doc_contamination(spark, sf_dir):
     return contamination_check(docs, bench, shingle_words=3)
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate word-2-gram fraction and
+    top-2-gram fraction per doc — computed SHUFFLE-FREE via array_sort +
+    run-length F.aggregate inside one projection (the oracle computes the
+    same values relationally: explode + groupBy)."""
+    from go_dcp_kafka_spark.functions.textstats import repetition_stats
+
+    return repetition_stats(_spread(_read(spark, sf_dir, "documents")))
+
+
 def q_doc_pii_mask(spark, sf_dir):
     """PII scrubbing: deterministic synthetic PII (an email, SSN, phone, and
     IPv4 derived from doc_id) appended to each doc, then masked by the fixed
@@ -661,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_split_assign": q_doc_split_assign,
         "doc_contamination": q_doc_contamination,
+        "doc_repetition": q_doc_repetition,
         "doc_pii_mask": q_doc_pii_mask,
         "doc_pack_sequences": q_doc_pack_sequences,
         "events_sessionize": q_events_sessionize,
@@ -1084,6 +1095,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, unnest(list_distinct({_shingles("text", 3)})) AS s
                       FROM documents WHERE doc_id >= 20))
             SELECT doc_id, count(*) AS n_hits FROM c JOIN b USING (sh_h) GROUP BY doc_id
+        """,
+        "doc_repetition": f"""
+            WITH g AS (
+                SELECT doc_id, unnest({_shingles("text", 2)}) AS gram FROM documents),
+            c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+            a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+                         CAST(count(*) AS BIGINT) AS dist, max(n) AS top
+                  FROM c GROUP BY 1)
+            SELECT doc_id, n_grams,
+                   round((n_grams - dist) / CAST(n_grams AS DOUBLE), 6) AS dup_gram_frac,
+                   round(top / CAST(n_grams AS DOUBLE), 6) AS top_gram_frac
+            FROM a
         """,
         "doc_pii_mask": _pii_sql(),
         "doc_pack_sequences": """

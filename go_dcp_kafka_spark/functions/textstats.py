@@ -146,3 +146,46 @@ def text_profile(docs: DataFrame, text_col: str = "text", shingle_words: int = 8
         F.when(F.col("_stop") >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
         F.array_min(F.transform(shingles, h31)).alias("fingerprint"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text", gram_words: int = 2) -> DataFrame:
+    """Gopher-style repetition metrics per doc: the fraction of duplicate
+    word n-grams and the fraction claimed by the single most frequent one —
+    the standard filters for loopy/boilerplate text in pretraining corpora
+    (Rae et al. 2021, 'Scaling Language Models', repetition heuristics).
+
+    Scale shape: ZERO shuffles. The n-gram array never explodes into rows —
+    duplicate fraction comes from ``array_distinct`` and the top-gram count
+    from a run-length fold over the SORTED array (``array_sort`` +
+    ``F.aggregate``), all inside one JVM projection. Per row O(n log n),
+    corpus-wide a pure scan; the DuckDB oracle computes the same values the
+    relational way (explode + groupBy) to keep the twin independent.
+    """
+    from go_dcp_kafka_spark.functions.dedup_text import _word_shingles
+
+    sh = _word_shingles(text_col, gram_words)
+    s1 = docs.select("doc_id", F.array_sort(sh).alias("_g"))
+    total = F.size("_g").cast("long")
+    distinct = F.size(F.array_distinct("_g")).cast("long")
+    # longest run of equal adjacent elements == max multiplicity (sorted)
+    run_best = F.aggregate(
+        "_g",
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    ).cast("long")
+    return s1.select(
+        "doc_id",
+        total.alias("n_grams"),
+        F.round((total - distinct) / total.cast("double"), 6).alias("dup_gram_frac"),
+        F.round(run_best / total.cast("double"), 6).alias("top_gram_frac"),
+    )

@@ -290,3 +290,30 @@ def test_sessionize_gap_semantics(spark):
     assert stats[(1, 0)] == (3, 1200) and stats[(1, 1)] == (1, 0)
     assert stats[(2, 0)] == (1, 0)
     assert stats[(3, 0)] == (2, 1800)
+
+
+def test_repetition_stats_semantics(spark):
+    """Duplicate-gram and top-gram fractions with exact values on known
+    inputs; the op is a single shuffle-free projection."""
+    from go_dcp_kafka_spark.functions.textstats import repetition_stats
+
+    rows = [
+        (0, "a b a b a b"),   # bigrams: [a b, b a, a b, b a, a b]
+        (1, "x y z w"),       # all distinct
+        (2, "q"),             # short-doc fallback: one 1-word gram
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert out[0]["n_grams"] == 5
+    assert out[0]["dup_gram_frac"] == 0.6 and out[0]["top_gram_frac"] == 0.6
+    assert out[1]["dup_gram_frac"] == 0.0 and out[1]["top_gram_frac"] == 0.333333
+    assert out[2]["n_grams"] == 1 and out[2]["top_gram_frac"] == 1.0
+    plan = (
+        repetition_stats(spark.createDataFrame(rows, ["doc_id", "text"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
