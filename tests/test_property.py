@@ -153,3 +153,62 @@ def test_read_changes_replay_invariant(spark, tmp_path):
                     assert old.get(r["k"]) != r["v"]
                     rebuilt[r["k"]] = r["v"]
             assert rebuilt == new, f"replay v{v1}->v{v2} diverged"
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=60),
+    st.integers(4, 64),
+    st.integers(2, 6),
+)
+def test_pack_sequences_equals_numpy_cumsum(spark, token_words, window, parts):
+    """For ANY corpus, the distributed prefix-sum's offsets equal the
+    sequential numpy exclusive cumsum in id order, at any partition count
+    and window size."""
+    from go_dcp_kafka_spark.functions.corpus import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(token_words)]
+    out = (
+        pack_sequences(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            window_tokens=window,
+            num_parts=parts,
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    counts = np.array(token_words, dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    assert [r["n_tokens"] for r in out] == counts.tolist()
+    assert [r["global_off"] for r in out] == offs.tolist()
+    assert all(r["window_id"] == r["global_off"] // window for r in out)
+    assert all(r["offset_in_window"] == r["global_off"] % window for r in out)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=40), st.integers(60, 3600))
+def test_sessionize_equals_sequential_fold(spark, gaps_sec, gap):
+    """For ANY event-time sequence, distributed sessionize equals the
+    obvious sequential fold (new session iff gap > threshold)."""
+    import datetime as dt
+
+    from go_dcp_kafka_spark.operators.sessionize import sessionize
+
+    t = dt.datetime(2024, 1, 1)
+    rows, times = [], []
+    for i, g in enumerate(gaps_sec):
+        t = t + dt.timedelta(seconds=g)
+        times.append(t)
+        rows.append((i, 1, t))
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(
+            spark.createDataFrame(rows, ["event_id", "user_id", "ts"]), gap_seconds=gap
+        ).collect()
+    }
+    expect, sidx = {}, 0
+    for i, ts in enumerate(times):
+        if i > 0 and int(ts.timestamp()) - int(times[i - 1].timestamp()) > gap:
+            sidx += 1
+        expect[i] = sidx
+    assert got == expect
