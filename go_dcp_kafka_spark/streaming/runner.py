@@ -93,7 +93,10 @@ class CdcPipeline:
         """``merge_mode``: 'cow' rewrites touched buckets per epoch (read-
         optimized); 'mor' appends versioned deltas per epoch (write-optimized
         — the 100 TB frequent-epoch path) with LWW resolution at read and
-        compaction every ``compact_every`` epochs (None = only on demand).
+        compaction every ``compact_every`` epochs. ``compact_every=None``
+        defaults to 64 when the effective merge mode is MOR — an unbounded
+        delta list makes every read union one more scan per epoch forever;
+        pass 0 to disable (manual ``compact()`` only).
         Default (None) = 'mor' for streaming epochs: per-epoch COW rewrite
         cost does not amortize at streaming's small-epoch cadence (it is the
         one component whose cost is independent of batch size), so MOR is
@@ -121,7 +124,9 @@ class CdcPipeline:
         if merge_mode not in ("cow", "mor", None):
             raise ValueError(f"merge_mode must be 'cow', 'mor', or None (auto), got {merge_mode!r}")
         self.merge_mode = merge_mode
-        self.compact_every = compact_every
+        if compact_every is None and (merge_mode or "mor") == "mor":
+            compact_every = 64  # bound the read-side delta list by default
+        self.compact_every = compact_every or None
         self.expire_every = expire_every
         self.keep_snapshots = keep_snapshots
         self._epochs_since_expire = 0

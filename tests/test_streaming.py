@@ -273,3 +273,15 @@ def test_rollback_epoch_never_rescans_for_markers(spark, tmp_path, monkeypatch):
     # is invalidated; the re-streamed "new-2" survives; partition 1 untouched
     assert got == {("c0", 0): "old-1", ("c0", 1): "new-2", ("c1", 0): "p1-keep"}
     assert pipe.checkpoints.hwm_map()[0] == 2
+
+
+def test_mor_compaction_cadence_defaults(spark, tmp_path):
+    """MOR streaming must bound its delta list by default: compact_every
+    defaults to 64 under (implicit or explicit) MOR, stays None for COW
+    (nothing to compact), honors an explicit value, and 0 disables."""
+    mk = lambda **kw: CdcPipeline(spark, str(tmp_path / "t"), run_id="d", **kw)
+    assert mk().compact_every == 64                       # implicit MOR
+    assert mk(merge_mode="mor").compact_every == 64
+    assert mk(merge_mode="cow").compact_every is None
+    assert mk(compact_every=16).compact_every == 16
+    assert mk(compact_every=0).compact_every is None      # explicit opt-out
