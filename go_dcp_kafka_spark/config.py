@@ -59,7 +59,7 @@ class PipelineConfig:
     checkpoint_location: str = "./spark_ckpt"
     num_buckets: int = 16
     merge_mode: str | None = None         # 'cow' | 'mor' | None = auto (streaming -> mor)
-    compact_every: int | None = None
+    compact_every: int | None = None      # None = 64 under MOR, 0 = manual only
     expire_every: int | None = None       # run snapshot expiry each N epochs (None = manual)
     keep_snapshots: int = 2               # snapshots retained by expiry (time-travel window)
     max_files_per_trigger: int = 2        # producerBatchSize analog (count threshold)
