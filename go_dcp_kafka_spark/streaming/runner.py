@@ -236,7 +236,8 @@ class CdcPipeline:
                 # no second scan of the batch to extract them
                 full_markers: list[tuple[int, int, int]] = []
                 for _, srow in stats_pd.iterrows():
-                    for m in srow["rb_markers"] or []:
+                    rb_ms = srow["rb_markers"]
+                    for m in (rb_ms if rb_ms is not None else []):
                         full_markers.append(
                             (int(srow["partition_id"]), int(m["rb_point"]), int(m["rb_delivery"]))
                         )

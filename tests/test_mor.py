@@ -75,3 +75,47 @@ def test_mor_crash_between_delta_and_checkpoint(spark, gen_result, log_info, tmp
     pipe2 = CdcPipeline(spark, str(tmp_path / "t"), run_id="morx", merge_mode="mor")
     pipe2.run_stream(log_info["dir"], str(tmp_path / "ck"), max_files_per_trigger=2)
     assert_frames_equal(pipe2.read_table().toPandas(), fold_oracle(gen_result.events))
+
+
+def test_mor_read_passthrough_handles_schema_evolution(spark, tmp_path):
+    """A delta that adds a column must not break the untouched-bucket
+    passthrough: old-bucket rows read back with the evolved column null."""
+    from pyspark.sql import functions as F
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=8)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["k", "v"]), epoch_id="b0")
+    evolved = spark.createDataFrame([(3, "new3", "extra")], ["k", "v", "w"])
+    t.merge_mor(evolved, None, epoch_id="d1", n_updates=1)
+    got = {r["k"]: (r["v"], r["w"]) for r in t.read().collect()}
+    assert len(got) == 100
+    assert got[3] == ("new3", "extra")
+    assert got[4] == ("v4", None)  # untouched bucket, evolved column backfilled
+    # and a fresh handle (no ctor schema) reads the same
+    t2 = SnapshotTable(spark, str(tmp_path / "t"), ("k",))
+    assert {r["k"]: (r["v"], r["w"]) for r in t2.read().collect()} == got
+
+
+def test_compact_is_bucket_local(spark, tmp_path):
+    """Compaction rewrites ONLY delta-touched buckets; untouched bucket
+    entries keep pointing at their pre-compaction dirs (cost ∝ touched
+    slice, not table)."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=8)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(400)], ["k", "v"]), epoch_id="b0")
+    before = dict(t._load_manifest()["buckets"])
+    t.merge_mor(spark.createDataFrame([(7, "new")], ["k", "v"]), None, epoch_id="d1", n_updates=1)
+    res = t.compact()
+    assert res["compacted"] and len(res["touched_buckets"]) < 8
+    after = t._load_manifest()
+    assert after["deltas"] == []
+    untouched = [b for b in before if int(b) not in set(res["touched_buckets"])]
+    assert untouched and all(after["buckets"][b] == before[b] for b in untouched)
+    assert all(after["buckets"][str(b)] != before.get(str(b)) for b in res["touched_buckets"])
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 400 and got[7] == "new" and got[11] == "v11"
+    # GC keeps mixed-version references alive
+    t.expire_snapshots(keep_last=1, orphan_grace_sec=0)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == got

@@ -164,3 +164,83 @@ def test_ivf_assign_is_shuffle_free(spark):
     }
     got = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
     assert got == ref
+
+
+def _walk_metric_sum(node, key, node_substr):
+    """Sum metric ``key`` over executed-plan nodes whose name contains
+    ``node_substr``, descending through AQE wrappers (AdaptiveSparkPlan's
+    final plan, materialized query stages)."""
+    name = node.nodeName()
+    if name.startswith("AdaptiveSparkPlan"):
+        return _walk_metric_sum(node.finalPhysicalPlan(), key, node_substr)
+    total = 0
+    if node_substr in name:
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == key:
+                total += kv._2().value()
+    if "QueryStage" in name:
+        total += _walk_metric_sum(node.plan(), key, node_substr)
+    for i in range(node.children().size()):
+        total += _walk_metric_sum(node.children().apply(i), key, node_substr)
+    return total
+
+
+def test_mor_read_resolution_is_bucket_local(spark, tmp_path):
+    """With outstanding deltas, read() must NOT shuffle the whole table:
+    untouched base buckets pass through scan-only; only the delta-touched
+    buckets' rows enter the LWW group-by exchange (r3 verdict item 1)."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=8)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(400)], ["k", "v"])
+    t.overwrite(base, epoch_id="b0")
+    t.merge_mor(spark.createDataFrame([(7, "new")], ["k", "v"]), None, epoch_id="d1", n_updates=1)
+    df = t.read()
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert len(got) == 400 and got[7] == "new" and got[8] == "v8"
+    shuffled = _walk_metric_sum(
+        df._jdf.queryExecution().executedPlan(), "recordsRead", "Exchange"
+    )
+    # 400 rows over 8 buckets => ~50/bucket; only the one touched bucket
+    # (+1 delta row) may shuffle — a full-table resolve would shuffle 401
+    assert 0 < shuffled <= 120, f"LWW resolve shuffled {shuffled} rows (expected only the touched bucket)"
+
+
+def test_read_keys_prunes_bucket_dirs(spark, tmp_path):
+    """read_keys must scan only the probed keys' bucket dirs (executed-scan
+    file metrics), and equal read().join(keys, semi)."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=8)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(400)], ["k", "v"])
+    t.overwrite(base, epoch_id="b0")
+    n_base_files = _walk_metric_sum(
+        t.read()._jdf.queryExecution().executedPlan(), "numFiles", "Scan"
+    ) or 8  # metric present only post-collect; overwrite wrote 1 file/bucket
+    keys = spark.createDataFrame([(7,), (123,)], ["k"])
+    df = t.read_keys(keys)
+    got = sorted(tuple(r) for r in df.collect())
+    expected = sorted(
+        tuple(r) for r in t.read().join(keys, "k", "left_semi").collect()
+    )
+    assert got == expected and len(got) == 2
+    n_files = _walk_metric_sum(
+        df._jdf.queryExecution().executedPlan(), "numFiles", "Scan"
+    )
+    assert 0 < n_files <= 2 < 8, f"read_keys scanned {n_files} files (probed 2 of 8 buckets)"
+
+
+def test_read_keys_resolves_mor_deltas_bucket_locally(spark, tmp_path):
+    """Point lookups stay correct (and pruned) with outstanding deltas."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=8)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(400)], ["k", "v"]), epoch_id="b0")
+    t.merge_mor(spark.createDataFrame([(7, "new7")], ["k", "v"]), None, epoch_id="d1", n_updates=1)
+    t.merge_mor(None if False else spark.createDataFrame([(9, "new9")], ["k", "v"]),
+                spark.createDataFrame([(123,)], ["k"]), epoch_id="d2", n_updates=2)
+    keys = spark.createDataFrame([(7,), (9,), (123,), (55,)], ["k"])
+    got = {r["k"]: r["v"] for r in t.read_keys(keys).collect()}
+    assert got == {7: "new7", 9: "new9", 55: "v55"}  # 123 deleted
