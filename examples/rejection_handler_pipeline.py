@@ -61,7 +61,7 @@ def main() -> None:
 
     print(f"\nmerged rows: user={pipe.read_table('user_turns').count()} agent={pipe.read_table('agent_turns').count()}")
     rej = pd.concat(
-        [pd.read_parquet(f) for f in glob.glob(os.path.join(base, "_rejections", "*.parquet"))]
+        [pd.read_parquet(f) for f in glob.glob(os.path.join(base, "_rejections", "**", "*.parquet"), recursive=True)]
     )
     print("\nrejections by class:")
     print(rej.groupby(["error_class", "error"]).size().to_string())

@@ -53,9 +53,34 @@ from go_dcp_kafka_spark.sources.changelog import (
 )
 from go_dcp_kafka_spark.streaming.checkpoints import CheckpointStore
 from go_dcp_kafka_spark.streaming.lineage import LineageLog
-from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+from go_dcp_kafka_spark.table.snapshot import SnapshotTable, _epoch_num
 
 DEFAULT_TARGET = "transcripts"
+
+#: Dead-letter row shape (RejectionLog analog,
+#: /root/reference/kafka/rejection_log_sink_response_handler.go:82-87)
+REJECTION_SCHEMA = T.StructType(
+    [
+        T.StructField("target", T.StringType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("error_class", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("commit_epoch_key", T.StringType()),
+    ]
+)
+
+
+def _dlq_dir_name(epoch_key: str, stage: str) -> str:
+    """Deterministic per-(epoch, stage) dir name; numeric epochs embed the
+    zero-padded batch id so retention can prune by age."""
+    import re
+
+    stream, n = _epoch_num(epoch_key)
+    if stream is not None:
+        return f"{re.sub(r'[^A-Za-z0-9_.-]', '_', stream)}-{n:012d}-{stage}"
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", str(epoch_key)) + "-" + stage
 
 
 class CdcPipeline:
@@ -83,6 +108,7 @@ class CdcPipeline:
         strict_routing: bool = False,
         merge_mode: str | None = None,
         compact_every: int | None = None,
+        dlq_retention_epochs: int | None = None,
         max_message_bytes: int | None = None,
         metrics=None,
         source_format: str = "parquet",
@@ -105,7 +131,14 @@ class CdcPipeline:
 
         ``expire_every``: run ``expire_snapshots(keep_last=keep_snapshots)``
         on every table each N epochs — without it a long-running stream
-        accumulates one snapshot manifest per epoch forever."""
+        accumulates one snapshot manifest per epoch forever.
+
+        ``dlq_retention_epochs``: prune ``_rejections`` epoch dirs more than
+        N epochs behind the newest rejection epoch (checked on the
+        ``expire_every`` cadence). None keeps all rejection rows — dirs
+        exist only for epochs that actually rejected something, so growth is
+        bounded by rejection frequency, not stream length; set a value when
+        rejections are routine and downstream consumers drain them."""
         self.spark = spark
         self.base_dir = base_dir
         self.tables = tables or {
@@ -127,6 +160,7 @@ class CdcPipeline:
         if compact_every is None and (merge_mode or "mor") == "mor":
             compact_every = 64  # bound the read-side delta list by default
         self.compact_every = compact_every or None
+        self.dlq_retention_epochs = dlq_retention_epochs
         self.expire_every = expire_every
         self.keep_snapshots = keep_snapshots
         self._epochs_since_expire = 0
@@ -148,7 +182,10 @@ class CdcPipeline:
             raise ValueError(f"source_format must be 'parquet' or 'json', got {source_format!r}")
         #: wire format of the change log ('json' = Kafka/Debezium-style lines)
         self.source_format = source_format
-        self._epochs_since_compact = 0
+        #: PER-TABLE compaction cadence (ADVICE r3): a shared counter would
+        #: compact N× too often with N routed tables — and always the same
+        #: one, leaving the others' delta lists unbounded
+        self._epochs_since_compact: dict[str, int] = {}
         self.last_stats: dict = {}
         #: completionHandler analog (connector.go:309-312): called with the
         #: epoch stats dict after every durable commit
@@ -169,7 +206,7 @@ class CdcPipeline:
             if CORRUPT_COL in batch_df.columns:
                 corrupt = batch_df.filter(F.col(CORRUPT_COL).isNotNull())
                 if not corrupt.isEmpty():
-                    (
+                    self._dlq_write(
                         corrupt.select(
                             F.lit(DEFAULT_TARGET).alias("target"),
                             F.col("conv_id"),
@@ -177,8 +214,10 @@ class CdcPipeline:
                             F.lit("malformed change event").alias("error"),
                             F.lit(REJECT_DECODE).alias("error_class"),
                             F.col(CORRUPT_COL).alias("value"),  # the raw wire line
-                            F.lit(str(epoch_id)).alias("commit_epoch_key"),
-                        ).write.mode("append").parquet(self.rejections_dir)
+                            F.lit(epoch_key).alias("commit_epoch_key"),
+                        ),
+                        epoch_key,
+                        "decode",
                     )
                 batch_df = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
             # ---- committed HWM state (driver-side map, <=1024 partitions) -
@@ -312,7 +351,7 @@ class CdcPipeline:
                         F.col("_err_class") == REJECT_OVERSIZE,
                         F.lit(f"message too large (> {self.max_message_bytes} bytes)"),
                     ).otherwise(F.lit("validation failed"))
-                    (
+                    self._dlq_write(
                         bad.select(
                             F.lit(DEFAULT_TARGET).alias("target"),
                             F.col("conv_id"),
@@ -320,8 +359,10 @@ class CdcPipeline:
                             err_msg.alias("error"),
                             F.col("_err_class").alias("error_class"),
                             F.to_json(F.struct(*[F.col(c) for c in PAYLOAD_COLS])).alias("value"),
-                            F.lit(str(epoch_id)).alias("commit_epoch_key"),
-                        ).write.mode("append").parquet(self.rejections_dir)
+                            F.lit(epoch_key).alias("commit_epoch_key"),
+                        ),
+                        epoch_key,
+                        "guard",
                     )
                 mapped = tagged.filter(F.col("_err_class").isNull()).drop("_err_class")
 
@@ -368,6 +409,7 @@ class CdcPipeline:
                 if self._epochs_since_expire >= self.expire_every:
                     for table in self.tables.values():
                         table.expire_snapshots(keep_last=self.keep_snapshots)
+                    self._expire_rejections()
                     self._epochs_since_expire = 0
             # per-phase latency breakdown (the reference's latency gauges,
             # collector.go:38-56, at phase granularity) — observability for
@@ -427,19 +469,71 @@ class CdcPipeline:
                     n = res.get("n_upserts")
                     total += int(n) if n is not None else winners.count()
                 if mode == "mor" and self.compact_every:
-                    self._epochs_since_compact += 1
-                    if self._epochs_since_compact >= self.compact_every:
+                    n_since = self._epochs_since_compact.get(name, 0) + 1
+                    if n_since >= self.compact_every:
                         table.compact()
-                        self._epochs_since_compact = 0
+                        n_since = 0
+                    self._epochs_since_compact[name] = n_since
             finally:
                 if mode != "mor":
                     winners.unpersist()
         return total
 
-    def _reject(self, rows: DataFrame, error: str, epoch_id, error_class: str = REJECT_VALIDATION) -> None:
+    def _dlq_write(self, rows: DataFrame, epoch_key: str, stage: str) -> None:
+        """EXACTLY-ONCE dead-lettering (r3 verdict item 2): each (epoch,
+        stage) writes its own keyed dir with overwrite semantics. A crash
+        after the DLQ write but before the checkpoint commit re-delivers the
+        epoch, which REWRITES the same dir instead of appending duplicate
+        rejection rows. (The reference's Kafka DLQ is at-least-once —
+        rejection_log_sink_response_handler.go:36-76 — this engine's pitch
+        is exactly-once state, DLQ included.)"""
+        import os
+
+        rows.write.mode("overwrite").parquet(
+            os.path.join(self.rejections_dir, _dlq_dir_name(epoch_key, stage))
+        )
+
+    def read_rejections(self) -> DataFrame:
+        """The dead-letter table across all epochs and stages."""
+        import os
+
+        root = self.rejections_dir
+        if not os.path.isdir(root) or not any(
+            f.endswith(".parquet")
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+            for f in os.listdir(os.path.join(root, d))
+        ):
+            return self.spark.createDataFrame([], REJECTION_SCHEMA)
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(root)
+
+    def _expire_rejections(self) -> None:
+        """Retention for the DLQ (runs on the ``expire_every`` cadence):
+        drop per-epoch dirs more than ``dlq_retention_epochs`` behind the
+        newest rejection epoch — the same unbounded-small-files disease
+        ``expire_every`` cures for snapshot manifests."""
+        import os
+        import re
+        import shutil
+
+        if not self.dlq_retention_epochs or not os.path.isdir(self.rejections_dir):
+            return
+        entries = []
+        for d in os.listdir(self.rejections_dir):
+            mm = re.search(r"-(\d{12})-[a-z]+$", d)
+            if mm:
+                entries.append((int(mm.group(1)), d))
+        if not entries:
+            return
+        newest = max(n for n, _ in entries)
+        for n, d in entries:
+            if n < newest - self.dlq_retention_epochs:
+                shutil.rmtree(os.path.join(self.rejections_dir, d), ignore_errors=True)
+
+    def _reject(self, rows: DataFrame, error: str, epoch_key, error_class: str = REJECT_VALIDATION, stage: str = "route") -> None:
         if rows.isEmpty():
             return
-        (
+        self._dlq_write(
             rows.select(
                 F.lit(DEFAULT_TARGET).alias("target"),
                 F.col("conv_id"),
@@ -447,8 +541,10 @@ class CdcPipeline:
                 F.lit(error).alias("error"),
                 F.lit(error_class).alias("error_class"),
                 F.to_json(F.struct(*[F.col(c) for c in PAYLOAD_COLS])).alias("value"),
-                F.lit(str(epoch_id)).alias("commit_epoch_key"),
-            ).write.mode("append").parquet(self.rejections_dir)
+                F.lit(str(epoch_key)).alias("commit_epoch_key"),
+            ),
+            str(epoch_key),
+            stage,
         )
 
     # --------------------------------------------------------------- running
@@ -486,10 +582,15 @@ class CdcPipeline:
         read_fn = read_change_log_json if self.source_format == "json" else read_change_log
         events = read_fn(self.spark, source_dir)
         if CORRUPT_COL in events.columns:
-            # decode dead-lettering, batch path (same DLQ as apply_batch)
-            (
-                events.filter(F.col(CORRUPT_COL).isNotNull())
-                .select(
+            corrupt = events.filter(F.col(CORRUPT_COL).isNotNull())
+            # decode dead-lettering, batch path (same keyed-overwrite DLQ
+            # as apply_batch: a re-run replay rewrites, never duplicates).
+            # No isEmpty() pre-probe: on the raw JSON wire a corrupt-
+            # column-only query is disallowed (and the probe would be an
+            # extra scan); an empty overwrite writes only _SUCCESS, which
+            # every reader ignores.
+            self._dlq_write(
+                corrupt.select(
                     F.lit(DEFAULT_TARGET).alias("target"),
                     F.col("conv_id"),
                     F.col("turn_idx"),
@@ -497,7 +598,9 @@ class CdcPipeline:
                     F.lit(REJECT_DECODE).alias("error_class"),
                     F.col(CORRUPT_COL).alias("value"),
                     F.lit(str(epoch_id)).alias("commit_epoch_key"),
-                ).write.mode("append").parquet(self.rejections_dir)
+                ),
+                str(epoch_id),
+                "decode",
             )
             events = events.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
         markers = extract_rollback_markers(events)

@@ -105,7 +105,7 @@ def _read_rejections(base):
     import glob
     import os
 
-    files = glob.glob(os.path.join(base, "_rejections", "*.parquet"))
+    files = glob.glob(os.path.join(base, "_rejections", "**", "*.parquet"), recursive=True)
     return pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
 
 

@@ -77,7 +77,7 @@ def test_routing_and_dead_letter(spark, log_dir, tmp_path):
     assert (u["role"] == "user").all()
     assert set(a["role"]) <= {"assistant", "tool"}
     # 'system' role had no mapping -> dead-lettered (reference panics here)
-    rej_files = glob.glob(os.path.join(base, "_rejections", "*.parquet"))
+    rej_files = glob.glob(os.path.join(base, "_rejections", "**", "*.parquet"), recursive=True)
     assert rej_files, "no rejections written"
     rej = pd.concat([pd.read_parquet(f) for f in rej_files])
     assert (rej["error"] == "unknown routing target").any()
@@ -97,7 +97,7 @@ def test_validation_rejections(spark, log_dir, tmp_path):
     pipe.run_stream(log_dir, str(tmp_path / "ck"), max_files_per_trigger=8)
     tbl = pipe.read_table().toPandas()
     assert (tbl["turn_idx"] < 50).all()
-    rej_files = glob.glob(os.path.join(base, "_rejections", "*.parquet"))
+    rej_files = glob.glob(os.path.join(base, "_rejections", "**", "*.parquet"), recursive=True)
     rej = pd.concat([pd.read_parquet(f) for f in rej_files])
     assert (rej["turn_idx"] >= 50).all() and len(rej) > 0
 
@@ -118,7 +118,7 @@ def test_oversize_measures_whole_message(spark, log_dir, tmp_path):
         max_message_bytes=4000,
     )
     pipe.run_stream(log_dir, str(tmp_path / "ck"), max_files_per_trigger=8)
-    rej_files = glob.glob(os.path.join(base, "_rejections", "*.parquet"))
+    rej_files = glob.glob(os.path.join(base, "_rejections", "**", "*.parquet"), recursive=True)
     assert rej_files, "oversize-via-tool rows were not dead-lettered"
     rej = pd.concat([pd.read_parquet(f) for f in rej_files])
     over = rej[rej["error_class"] == "oversize"]

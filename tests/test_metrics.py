@@ -64,7 +64,7 @@ def test_rejection_error_classes(spark, log_dir, tmp_path):
         max_message_bytes=limit,
     )
     pipe.run_stream(log_dir, str(tmp_path / "ck"), max_files_per_trigger=8)
-    rej_files = glob.glob(os.path.join(base, "_rejections", "*.parquet"))
+    rej_files = glob.glob(os.path.join(base, "_rejections", "**", "*.parquet"), recursive=True)
     assert rej_files, "no rejections written"
     rej = pd.concat([pd.read_parquet(f) for f in rej_files])
     assert "error_class" in rej.columns
