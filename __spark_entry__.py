@@ -41,14 +41,33 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Fan a SMALL-bytes/heavy-CPU input (per-row md5/regex work) across all
+def _spread(df: DataFrame, rows_per_task: int = 64) -> DataFrame:
+    """Fan a SMALL-bytes/heavy-CPU input (per-row md5/regex work) across
     cores. The testdata corpus is one small parquet file, so the scan
     otherwise packs into one task and the expensive projection runs on one
     core; the shuffle moved is a few MB of text. At real scale the input has
     thousands of splits and this is a no-op cost-wise (same knob as
-    files.maxPartitionBytes tuning)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    files.maxPartitionBytes tuning).
+
+    Parallelism derives from the ACTUAL input row count (parquet footer
+    metadata, driver-side — no Spark job), capped at defaultParallelism:
+    r3 showed that unconditionally fanning a few-hundred-row input to 32
+    partitions spawns 32 Python workers whose startup dominates the
+    mapInPandas stage (media_features 0.93 s -> 2.52 s). Pass a larger
+    ``rows_per_task`` for cheap-per-row Python kernels, smaller for heavy
+    JVM projections."""
+    sc = df.sparkSession.sparkContext
+    n_rows = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for f in df.inputFiles():
+            n_rows += pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+    except Exception:
+        n_rows = 0
+    if n_rows <= 0:
+        return df.repartition(sc.defaultParallelism)
+    return df.repartition(max(1, min(sc.defaultParallelism, n_rows // rows_per_task)))
 
 
 def _cents(col):
@@ -590,9 +609,10 @@ def q_media_features(spark, sf_dir):
     source text."""
     from go_dcp_kafka_spark.functions.multimodal import extract_features_scalar, media_from_documents
 
-    # _spread: the fake kernel is per-row CPU (md5), so fan the one small
-    # input file across all cores before the mapInPandas stage
-    media = media_from_documents(_spread(_read(spark, sf_dir, "documents")))
+    # _spread with a LARGE rows_per_task: the fake kernel is cheap-per-row
+    # Python (md5), so a handful of Arrow batches beats one worker per core
+    # (worker startup dominated the r3 bench at this row count)
+    media = media_from_documents(_spread(_read(spark, sf_dir, "documents"), rows_per_task=1024))
     return extract_features_scalar(media, use_fake=True).orderBy("media_id")
 
 
@@ -1103,10 +1123,17 @@ def oracle_sql() -> dict[str, str]:
             a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
                          CAST(count(*) AS BIGINT) AS dist, max(n) AS top
                   FROM c GROUP BY 1)
-            SELECT doc_id, n_grams,
-                   round((n_grams - dist) / CAST(n_grams AS DOUBLE), 6) AS dup_gram_frac,
-                   round(top / CAST(n_grams AS DOUBLE), 6) AS top_gram_frac
-            FROM a
+            -- LEFT JOIN from documents: a doc shorter than the gram width
+            -- yields no unnest rows but must stay in the output with both
+            -- fractions DEFINED as 0.0 (engine twin does the same)
+            SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+                   CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0
+                        ELSE round((a.n_grams - a.dist) / CAST(a.n_grams AS DOUBLE), 6)
+                   END AS dup_gram_frac,
+                   CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0
+                        ELSE round(a.top / CAST(a.n_grams AS DOUBLE), 6)
+                   END AS top_gram_frac
+            FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
         """,
         "doc_pii_mask": _pii_sql(),
         "doc_pack_sequences": """

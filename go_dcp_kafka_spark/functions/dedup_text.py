@@ -265,6 +265,20 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # labels still changing after max_iter: a component with diameter >
+        # max_iter would silently split into several cluster_ids and a
+        # clean-corpus caller would keep extra 'representatives' (ADVICE
+        # r3) — surface it instead of returning wrong clusters silently
+        import warnings
+
+        warnings.warn(
+            f"duplicate_clusters: label propagation did not converge within "
+            f"max_iter={max_iter} rounds (a component's diameter exceeds it); "
+            f"labels may split one true cluster — rerun with a higher max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -183,9 +183,17 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", gram_words: int = 
         ),
         lambda acc: acc.best,
     ).cast("long")
+    # a doc shorter than gram_words has zero n-grams: both fractions are
+    # DEFINED as 0.0 (not null — a 0/0 null silently passes any downstream
+    # "frac < threshold" quality filter; ADVICE r3), and the doc stays in
+    # the output. Oracle SQL mirrors both choices.
     return s1.select(
         "doc_id",
         total.alias("n_grams"),
-        F.round((total - distinct) / total.cast("double"), 6).alias("dup_gram_frac"),
-        F.round(run_best / total.cast("double"), 6).alias("top_gram_frac"),
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(F.round((total - distinct) / total.cast("double"), 6))
+        .alias("dup_gram_frac"),
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(F.round(run_best / total.cast("double"), 6))
+        .alias("top_gram_frac"),
     )

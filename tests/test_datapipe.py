@@ -317,3 +317,51 @@ def test_repetition_stats_semantics(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_repetition_stats_short_docs_agree_with_oracle(spark, tmp_path):
+    """Short/empty docs must neither vanish from the oracle nor go null in
+    the engine (ADVICE r3): run BOTH twins over a corpus that includes
+    empty, whitespace-only, and single-word docs and compare every value."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from go_dcp_kafka_spark.functions.textstats import repetition_stats
+
+    rows = [(0, ""), (1, "   "), (2, "a b a b"), (3, "q"), (4, "x y z")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = (
+        repetition_stats(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.execute(e.oracle_sql()["doc_repetition"]).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == 5, "a twin dropped short docs"
+    assert not got.isna().any().any() and not exp.isna().any().any()
+    for c in ["n_grams", "dup_gram_frac", "top_gram_frac"]:
+        assert (got[c].astype(float).round(6) == exp[c].astype(float).round(6)).all(), c
+
+
+def test_duplicate_clusters_warns_when_unconverged(spark):
+    """A component whose diameter exceeds max_iter must WARN instead of
+    silently returning split labels (ADVICE r3)."""
+    import warnings
+
+    from go_dcp_kafka_spark.functions.dedup_text import duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(8)]  # diameter 8
+    pairs = spark.createDataFrame(chain, ["a_id", "b_id"])
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        duplicate_clusters(pairs, max_iter=2).collect()
+    assert any("did not converge" in str(w.message) for w in rec)
+    # and with enough rounds: no warning, one cluster
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert not any("did not converge" in str(w.message) for w in rec2)
+    assert set(got.values()) == {0}
