@@ -601,6 +601,27 @@ def _ivf_table(spark, sf_dir, n_centroids: int = 16) -> str:
     return path
 
 
+def q_emb_ivf_kmeans(spark, sf_dir):
+    """IVF coarse-quantizer TRAINING (r3 verdict item 5): 2 Lloyd rounds of
+    assign (shuffle-free broadcast argmax) + mean-update (posexplode/avg),
+    then the trained-index summary per cell: member count, smallest member
+    id, and the trained centroid's norm. Oracle = the same two rounds
+    unrolled relationally (cross-join argmax + unnest/avg) in DuckDB."""
+    from go_dcp_kafka_spark.functions.similarity import kmeans_train, norm_expr, with_ivf_cell
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=8, n_iter=2)
+    assigned = with_ivf_cell(emb.select("vec_id", "embedding"), cents)
+    stats = assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+    norms = cents.select(
+        F.col("cid").alias("cell"), F.round(norm_expr(F.col("ce")), 6).alias("centroid_norm")
+    )
+    return stats.join(norms, "cell").select("cell", "n_members", "min_vec_id", "centroid_norm")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing — binary media column (utf-8 bytes of document
     text) -> Arrow-batched mapInPandas feature extraction. The deterministic
@@ -702,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_nprobe": q_emb_ivf_nprobe,
         "emb_ivf_mat": q_emb_ivf_mat,
+        "emb_ivf_kmeans": q_emb_ivf_kmeans,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
@@ -788,6 +810,55 @@ def _ivf_sql(nprobe: int, n_centroids: int = 16, k: int = 10) -> str:
         FROM e JOIN a ON e.vec_id = a.vec_id CROSS JOIN q
         WHERE a.cell IN (SELECT cid FROM probe)
         ORDER BY cosine DESC, e.vec_id LIMIT {k}
+    """
+
+
+def _km_assign(cents: str, out: str) -> str:
+    """One k-means assignment round as a CTE pair: argmax-cosine cell per
+    vector (ties to smallest cid — the engine's fold visits cids in order
+    and replaces only on strictly greater cosine)."""
+    cos = (
+        f"round(list_dot_product(ve, ce) / "
+        f"(sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))), 6)"
+    )
+    return (
+        f"{out} AS (SELECT vec_id, cid AS cell FROM "
+        f"(SELECT e.vec_id, c.cid, "
+        f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid) AS rn "
+        f"FROM e CROSS JOIN {cents} c) WHERE rn = 1)"
+    )
+
+
+def _km_update(assign: str, cents_in: str, out: str) -> str:
+    """One k-means mean-update round: per-cell, per-position average of
+    member vectors (rounded to 6 dp like the engine); empty cells keep the
+    previous centroid."""
+    return (
+        f"{out}_u AS (SELECT cell, pos, round(avg(val), 6) AS m FROM "
+        f"(SELECT a.cell, unnest(e.ve) AS val, generate_subscripts(e.ve, 1) AS pos "
+        f"FROM {assign} a JOIN e USING (vec_id)) GROUP BY cell, pos), "
+        f"{out}_l AS (SELECT cell AS cid, list(m ORDER BY pos) AS ce FROM {out}_u GROUP BY cell), "
+        f"{out} AS (SELECT p.cid, COALESCE(l.ce, p.ce) AS ce "
+        f"FROM {cents_in} p LEFT JOIN {out}_l l USING (cid))"
+    )
+
+
+def _ivf_kmeans_sql(k: int = 8) -> str:
+    """DuckDB twin of q_emb_ivf_kmeans: 2 Lloyd rounds unrolled."""
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings WHERE vec_id < {k}),
+        {_km_assign("c0", "a1")},
+        {_km_update("a1", "c0", "c1")},
+        {_km_assign("c1", "a2")},
+        {_km_update("a2", "c1", "c2")},
+        {_km_assign("c2", "a3")}
+        SELECT c2.cid AS cell, CAST(count(*) AS BIGINT) AS n_members,
+               min(a3.vec_id) AS min_vec_id,
+               round(sqrt(list_dot_product(c2.ce, c2.ce)), 6) AS centroid_norm
+        FROM a3 JOIN c2 ON a3.cell = c2.cid
+        GROUP BY c2.cid, c2.ce
     """
 
 
@@ -1195,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_ivf_topk": _ivf_sql(nprobe=1),
         "emb_ivf_nprobe": _ivf_sql(nprobe=4),
+        "emb_ivf_kmeans": _ivf_kmeans_sql(),
         "media_features": f"""
             SELECT doc_id AS media_id,
                    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,

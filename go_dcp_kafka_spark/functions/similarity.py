@@ -153,6 +153,53 @@ def with_ivf_cell(
     return base.withColumn("cell", best["cid"]).drop("_cents")
 
 
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means for the IVF coarse quantizer (cosine-assignment
+    flavor): deterministic init (first ``k`` vectors by id), then ``n_iter``
+    rounds of assign → mean-update. Returns the trained ``(cid, ce)``
+    centroid table for ``materialize_ivf`` / ``with_ivf_cell``.
+
+    Scale shape, per round:
+    - **assign** is the shuffle-free broadcast-argmax projection
+      (``with_ivf_cell``) — one corpus scan, no exchange;
+    - **update** is one shuffle of N×D (pos, val) rows into K×D groups
+      (posexplode → avg → reassemble) — map-side combined, and a
+      TRAINING-time cost paid once per index build, not per query. At
+      10^10 × 64 dims that is the same order as any corpus-wide aggregate.
+
+    Oracle portability: elements cast to double before averaging and each
+    centroid component rounded to 6 dp per round, so a relational twin
+    (cross-join argmax + unnest/avg) reproduces the exact centroids.
+    Empty cells keep their previous centroid (the standard Lloyd fallback).
+    """
+    cents = embeddings.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ce"),
+    )
+    for _ in range(n_iter):
+        assigned = with_ivf_cell(embeddings.select(id_col, vec_col), cents, vec_col)
+        upd = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(F.col("cell").alias("cid"), F.transform("pm", lambda s: s["m"]).alias("ce"))
+        )
+        cents = (
+            cents.withColumnRenamed("ce", "ce_prev")
+            .join(upd, "cid", "left")
+            .select("cid", F.coalesce("ce", "ce_prev").alias("ce"))
+        )
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],

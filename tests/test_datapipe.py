@@ -365,3 +365,49 @@ def test_duplicate_clusters_warns_when_unconverged(spark):
         got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
     assert not any("did not converge" in str(w.message) for w in rec2)
     assert set(got.values()) == {0}
+
+
+def test_kmeans_trained_ivf_recall_and_objective(spark, tmp_path):
+    """k-means training must (a) keep K centroids and partition the corpus,
+    (b) not worsen the mean best-cosine objective vs the untrained init,
+    and (c) give a materialized trained index whose nprobe=2 search recalls
+    most of the exact top-10 (recall-vs-exact assertion, r3 verdict 5)."""
+    from pyspark.sql import functions as F
+
+    from go_dcp_kafka_spark.functions.similarity import (
+        cosine_topk,
+        ivf_topk_materialized,
+        kmeans_train,
+        materialize_ivf,
+        with_ivf_cell,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("long").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
+    )
+    trained = kmeans_train(emb, k=8, n_iter=2)
+    assert trained.count() == 8
+
+    def objective(cents):
+        from go_dcp_kafka_spark.functions.similarity import cosine_expr
+
+        a = with_ivf_cell(emb.select("vec_id", "embedding"), cents)
+        joined = a.join(cents.select(F.col("cid").alias("cell"), "ce"), "cell")
+        return joined.agg(F.avg(cosine_expr("embedding", "ce"))).collect()[0][0]
+
+    assigned = with_ivf_cell(emb.select("vec_id", "embedding"), trained)
+    assert assigned.count() == n  # every vector lands in exactly one cell
+    assert objective(trained) >= objective(init) - 1e-9
+
+    path = str(tmp_path / "ivf_km")
+    materialize_ivf(emb, trained, path)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    exact = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+    approx = {
+        r["vec_id"] for r in ivf_topk_materialized(spark, path, qv, k=10, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"trained-IVF nprobe=2 recall {recall} < 0.5"
