@@ -165,13 +165,16 @@ class CdcPipeline:
         self.keep_snapshots = keep_snapshots
         self._epochs_since_expire = 0
         #: cache the micro-batch across the epoch's passes (stats + merge).
-        #: Default by pass economics: MOR-on-parquet makes TWO vectorized
-        #: scans of an epoch's files (stats + delta write) — re-scanning is
-        #: cheap and bounded, while caching costs a materialization pass and
-        #: executor memory (spill risk at real epoch sizes). COW makes three
-        #: passes (stats + touched-key count + rewrite) and the JSON wire
-        #: re-pays row-by-row parsing per pass — both cache.
-        self.cache_batch = source_format == "json" or merge_mode == "cow"
+        #: Default: JSON wire ONLY — every pass over the raw wire re-pays
+        #: row-by-row parsing, so caching wins there. On the columnar
+        #: (parquet) wire the vectorized re-scan is cheaper than the persist:
+        #: an r4 A/B at local[32] measured COW-with-persist at 15.0-29.8 s
+        #: vs 12.8-14.5 s without (the r3 default `merge_mode=='cow' =>
+        #: cache` was the measured -45% streaming-COW regression in
+        #: BENCH_r03 — the materialization pass plus first-use
+        #: InMemoryRelation codegen cost more than the two extra scans it
+        #: saved; see BENCH/BASELINE.md "r3 COW regression root-cause").
+        self.cache_batch = source_format == "json"
         #: MessageTooLargeError analog (producer_batch.go:146-185): rows whose
         #: text exceeds this byte size dead-letter with error_class='oversize'
         #: instead of poisoning the merge.
