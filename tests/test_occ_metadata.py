@@ -369,3 +369,30 @@ def test_expire_grace_protects_staged_dirs_but_gcs_expired_snapshots(spark, tmp_
     os.utime(staged, (1_600_000_000, 1_600_000_000))
     t.expire_snapshots(keep_last=2)
     assert "deadbeefstaged" not in set(os.listdir(data_root))
+
+
+def test_lost_latest_pointer_with_expired_v1_heals_by_rescan(spark, tmp_path):
+    """ADVICE r3 (low): pointer file lost (crash between v-file link and
+    pointer write, or manual deletion) AFTER expire_snapshots removed
+    v000001 — forward probing from 0 finds nothing, so the rescan fallback
+    must find the surviving version files; exists()/read() keep working."""
+    import os
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    for i in range(5):
+        t.merge(
+            spark.createDataFrame([(i, f"v{i}")], ["k", "v"]), None,
+            epoch_id=f"run:{i}", n_updates=1,
+        )
+    t.expire_snapshots(keep_last=2, orphan_grace_sec=0)
+    hist = os.path.join(str(tmp_path / "t"), "_manifests")
+    assert not os.path.exists(os.path.join(hist, "v000001.json"))
+    os.remove(os.path.join(hist, "_latest"))
+    # also drop the read cache so only the version files remain
+    os.remove(os.path.join(str(tmp_path / "t"), "_manifest.json"))
+    t2 = SnapshotTable(spark, str(tmp_path / "t"), ("k",))
+    assert t2.exists(), "committed table reported absent after pointer loss"
+    assert t2.version() == 5
+    assert {r["k"]: r["v"] for r in t2.read().collect()} == {i: f"v{i}" for i in range(5)}
