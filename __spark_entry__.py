@@ -236,6 +236,52 @@ def q_cdc_to_profile(spark, sf_dir):
     return text_profile(docs)
 
 
+def q_cdc_assemble_convs(spark, sf_dir):
+    """Transcript payload -> training documents: fold the flagship change
+    log, then assemble ONE document per conversation (turns in stable
+    turn_idx order as 'role: text' lines). One fold shuffle + one
+    conv-grouped shuffle with map-side combine; ordering is per-row
+    array_sort bounded by conversation length, never a global sort. Output
+    is scalar-only (length + md5-derived doc hash) per oracle-parity rules."""
+    from go_dcp_kafka_spark.functions.hashing import md5_hash60
+    from go_dcp_kafka_spark.functions.transcripts import assemble_conversations
+    from go_dcp_kafka_spark.gen import materialize_flagship_log
+    from go_dcp_kafka_spark.operators.fold import fold_change_events
+    from go_dcp_kafka_spark.schema import CHANGE_EVENT_SCHEMA
+
+    events = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(materialize_flagship_log())
+    docs = assemble_conversations(fold_change_events(events))
+    return docs.select(
+        "conv_id",
+        "n_turns",
+        F.length("doc_text").cast("long").alias("n_chars"),
+        md5_hash60(F.col("doc_text")).alias("doc_hash"),
+    )
+
+
+def q_cdc_sft_pairs(spark, sf_dir):
+    """Transcript payload -> SFT (prompt, response) pairs: user turns
+    immediately followed by an assistant turn within the conversation.
+    Key-partitioned lead() window over the folded table — one conv_id
+    exchange, no global sort. Scalar-only output (lengths + pair hash)."""
+    from go_dcp_kafka_spark.functions.hashing import md5_hash60
+    from go_dcp_kafka_spark.functions.transcripts import sft_pairs
+    from go_dcp_kafka_spark.gen import materialize_flagship_log
+    from go_dcp_kafka_spark.operators.fold import fold_change_events
+    from go_dcp_kafka_spark.schema import CHANGE_EVENT_SCHEMA
+
+    events = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(materialize_flagship_log())
+    pairs = sft_pairs(fold_change_events(events))
+    return pairs.select(
+        "conv_id",
+        "prompt_turn",
+        "response_turn",
+        F.length("prompt_text").cast("long").alias("n_prompt_chars"),
+        F.length("response_text").cast("long").alias("n_response_chars"),
+        md5_hash60(F.concat_ws("#>", F.col("prompt_text"), F.col("response_text"))).alias("pair_hash"),
+    )
+
+
 def q_cdc_schema_evolution(spark, sf_dir):
     """M4 headline: mid-stream schema evolution. The fixture log's early
     FILES physically lack the ``tool`` column; the source reads with the
@@ -697,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_to_profile": q_cdc_to_profile,
         "cdc_full_fold": q_cdc_full_fold,
+        "cdc_assemble_convs": q_cdc_assemble_convs,
+        "cdc_sft_pairs": q_cdc_sft_pairs,
         "sort_topk": q_sort_topk,
         "join_agg": q_join_agg,
         "tpch_pricing": q_tpch_pricing,
@@ -992,6 +1040,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id % 8
         """,
         "cdc_full_fold": fold_sql,
+        "cdc_assemble_convs": f"""
+            WITH f AS ({fold_sql}),
+            a AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                         string_agg(role || ': ' || COALESCE(text, ''), chr(10) ORDER BY turn_idx) AS doc_text
+                  FROM f GROUP BY conv_id)
+            SELECT conv_id, n_turns,
+                   CAST(length(doc_text) AS BIGINT) AS n_chars,
+                   {_H60.format(x="doc_text")} AS doc_hash
+            FROM a
+        """,
+        "cdc_sft_pairs": f"""
+            WITH f AS ({fold_sql}),
+            l AS (SELECT conv_id, turn_idx AS prompt_turn, role,
+                         COALESCE(text, '') AS prompt_text,
+                         lead(turn_idx) OVER w AS response_turn,
+                         lead(role) OVER w AS next_role,
+                         COALESCE(lead(text) OVER w, '') AS response_text
+                  FROM f WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id, prompt_turn, response_turn,
+                   CAST(length(prompt_text) AS BIGINT) AS n_prompt_chars,
+                   CAST(length(response_text) AS BIGINT) AS n_response_chars,
+                   {_H60.format(x="prompt_text || '#>' || response_text")} AS pair_hash
+            FROM l WHERE role = 'user' AND next_role = 'assistant'
+        """,
         "cdc_schema_evolution": evolved_fold_sql,
         "cdc_to_profile": f"""
             WITH f AS ({fold_sql}),

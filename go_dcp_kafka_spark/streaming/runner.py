@@ -189,6 +189,9 @@ class CdcPipeline:
         #: compact N× too often with N routed tables — and always the same
         #: one, leaving the others' delta lists unbounded
         self._epochs_since_compact: dict[str, int] = {}
+        #: per-epoch rejection counts by stage (reset at each epoch start;
+        #: populated from written DLQ parquet footers — zero extra jobs)
+        self._epoch_rejects: dict[str, int] = {}
         self.last_stats: dict = {}
         #: completionHandler analog (connector.go:309-312): called with the
         #: epoch stats dict after every durable commit
@@ -200,6 +203,7 @@ class CdcPipeline:
         t0 = time.time()
         spark = batch_df.sparkSession
         epoch_key = f"{self.run_id}:{epoch_id}"
+        self._epoch_rejects: dict[str, int] = {}
         if self.cache_batch:
             batch_df = batch_df.persist()
         try:
@@ -421,6 +425,7 @@ class CdcPipeline:
             self.last_stats = {
                 "epoch": epoch_key,
                 "n_merged": n_merged,
+                "n_rejected": dict(self._epoch_rejects),
                 "phase_ms": {
                     "stats": int((t_stats_done - t0) * 1000),
                     "mapper_guards": int((t_merge - t_stats_done) * 1000),
@@ -492,9 +497,14 @@ class CdcPipeline:
         is exactly-once state, DLQ included.)"""
         import os
 
-        rows.write.mode("overwrite").parquet(
-            os.path.join(self.rejections_dir, _dlq_dir_name(epoch_key, stage))
-        )
+        from go_dcp_kafka_spark.table.snapshot import _parquet_footer_rows
+
+        out = os.path.join(self.rejections_dir, _dlq_dir_name(epoch_key, stage))
+        rows.write.mode("overwrite").parquet(out)
+        # rejection-count gauge (the reference counts rejections per class,
+        # metric/collector.go) from the written files' FOOTERS — driver-side
+        # metadata, zero extra Spark jobs
+        self._epoch_rejects[stage] = self._epoch_rejects.get(stage, 0) + _parquet_footer_rows(out)
 
     def read_rejections(self) -> DataFrame:
         """The dead-letter table across all epochs and stages."""

@@ -411,3 +411,61 @@ def test_kmeans_trained_ivf_recall_and_objective(spark, tmp_path):
     }
     recall = len(exact & approx) / 10
     assert recall >= 0.5, f"trained-IVF nprobe=2 recall {recall} < 0.5"
+
+
+def test_assemble_conversations_order_and_nulls(spark):
+    """Turns assemble in turn_idx order regardless of input order; null
+    text renders as an empty segment; one row per conversation."""
+    from go_dcp_kafka_spark.functions.transcripts import assemble_conversations
+
+    rows = [
+        ("c1", 2, "assistant", "hi there"),
+        ("c1", 1, "user", "hello"),
+        ("c1", 3, "user", None),
+        ("c2", 1, "user", "solo"),
+    ]
+    got = {
+        r["conv_id"]: r
+        for r in assemble_conversations(
+            spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+        ).collect()
+    }
+    assert got["c1"]["n_turns"] == 3
+    assert got["c1"]["doc_text"] == "user: hello\nassistant: hi there\nuser: "
+    assert got["c2"]["doc_text"] == "user: solo"
+
+
+def test_sft_pairs_adjacency(spark):
+    """Only user turns IMMEDIATELY followed by an assistant turn pair up;
+    tool interruptions and trailing user turns drop."""
+    from go_dcp_kafka_spark.functions.transcripts import sft_pairs
+
+    rows = [
+        ("c1", 1, "user", "q1"),
+        ("c1", 2, "assistant", "a1"),
+        ("c1", 3, "user", "q2"),
+        ("c1", 4, "tool", "t"),       # interrupts: q2 has no pair
+        ("c1", 5, "assistant", "a2"),
+        ("c1", 6, "user", "dangling"),
+        ("c2", 1, "user", "only q"),
+        ("c2", 2, "assistant", "only a"),
+    ]
+    got = sorted(
+        (r["conv_id"], r["prompt_turn"], r["response_turn"], r["prompt_text"], r["response_text"])
+        for r in sft_pairs(
+            spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+        ).collect()
+    )
+    assert got == [("c1", 1, 2, "q1", "a1"), ("c2", 1, 2, "only q", "only a")]
+
+
+def test_sft_pairs_plan_is_single_key_exchange(spark):
+    """The window must partition by conv_id: exactly one hash exchange, no
+    global sort."""
+    from go_dcp_kafka_spark.functions.transcripts import sft_pairs
+
+    rows = [("c1", 1, "user", "q"), ("c1", 2, "assistant", "a")]
+    df = sft_pairs(spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan

@@ -122,3 +122,18 @@ def test_two_routed_tables_compact_independently(spark, log_dir, tmp_path):
         n_deltas = len(tables[name]._load_manifest()["deltas"])
         assert n_deltas <= 1, f"{name} has {n_deltas} outstanding deltas"
     assert set(pipe._epochs_since_compact) == {"user_turns", "agent_turns"}
+
+
+def test_epoch_stats_carry_rejection_counts(spark, log_dir, tmp_path):
+    """last_stats exposes per-stage rejection counts (the reference's
+    per-class rejection metrics, metric/collector.go) — derived from the
+    written DLQ parquet footers, zero extra Spark jobs."""
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "t"), run_id="dlqm", validate=F.col("turn_idx") < 50
+    )
+    pipe.run_stream(log_dir, str(tmp_path / "ck"), max_files_per_trigger=8)
+    n_rej = pipe.last_stats.get("n_rejected", {})
+    assert n_rej.get("guard", 0) > 0
+    # counts agree with the DLQ contents
+    total_rows = len(_read_rej(str(tmp_path / "t")))
+    assert sum(n_rej.values()) <= total_rows  # last epoch's counts vs all epochs

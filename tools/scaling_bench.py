@@ -184,6 +184,28 @@ toward the design point. Same-methodology 8.55M sessions measured 0.906 and
   bucket rewrite is a fixed cost that does not amortize at streaming's
   small-epoch cadence, which is exactly why it is not the streaming default.
 
+## r3 COW regression root-cause (r4, closes verdict item 3)
+
+BENCH_r03 streaming COW regressed 12.31 s (r2) -> 17.83 s (r3) at local[32],
+beyond the documented ±25% drift. Re-measured in r4 with interleaved
+best-of-2 at local[32] (same input, separate JVMs): the regression
+REPRODUCED (19.13 s pre-fix), so it was real, not host weather. A/B
+isolation (same session, interleaved cache-on/cache-off COW streams) found
+the cause: commit ef0cf59 made `merge_mode=='cow'` persist the micro-batch
+by default. On the columnar wire the persist materialization pass plus the
+first-use InMemoryRelation codegen cost MORE than the two vectorized
+re-scans it saves — measured 15.0-29.8 s with persist vs 12.8-14.5 s
+without. The rb-marker fusion (155089e, the other suspect) is innocent: it
+is active in both arms of the A/B. Fix: `cache_batch` defaults to the JSON
+wire only. Post-fix best-of-2 at local[32], 2.17M events: stream COW
+14.77 s (146.9k ev/s), stream MOR 10.55 s (205.6k ev/s — best measured to
+date), batch 1.71 s. The fix also cut ABSOLUTE N-level and 4N-level COW
+times by ~35% in the scaling table above vs the r3-config numbers
+(201.7 s -> ~126 s at N; 62.9 s -> ~42 s at 4N); COW's wall-clock
+efficiency ratio reads lower than r3's 0.802 because both levels got
+faster but the 4N level's run-to-run spread is ±20% on this host — the
+DEFAULT mode (MOR) and batch are the criterion-bearing rows, both green.
+
 ## Measurement variance (read before judging the efficiency number)
 
 Raw per-run throughput (events/s) behind the best-of-2 table:
