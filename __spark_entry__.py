@@ -679,7 +679,10 @@ def q_media_features(spark, sf_dir):
     # _spread with a LARGE rows_per_task: the fake kernel is cheap-per-row
     # Python (md5), so a handful of Arrow batches beats one worker per core
     # (worker startup dominated the r3 bench at this row count)
-    media = media_from_documents(_spread(_read(spark, sf_dir, "documents"), rows_per_task=1024))
+    # 312 rows/task measured fastest cold at local[32]/sf0.1 (16 Arrow
+    # batches; 1024 under-parallelizes the repartition write, 64 spawns a
+    # worker per core for a few hundred rows)
+    media = media_from_documents(_spread(_read(spark, sf_dir, "documents"), rows_per_task=312))
     return extract_features_scalar(media, use_fake=True).orderBy("media_id")
 
 

@@ -70,6 +70,14 @@ def main() -> None:
     ).collect()[0]
     print(f"transcript docs: {n_docs}, clean: {n_clean}, "
           f"train tokens: {agg['tokens']}, context windows: {agg['max_win'] + 1}")
+
+    # 5. Transcript-native exports: one assembled document per conversation
+    #    and (prompt, response) pairs for SFT — both straight off the table
+    from go_dcp_kafka_spark.functions.transcripts import assemble_conversations, sft_pairs
+
+    convs = assemble_conversations(pipe.read_table())
+    pairs = sft_pairs(pipe.read_table())
+    print(f"assembled conversations: {convs.count()}, sft pairs: {pairs.count()}")
     spark.stop()
 
 

@@ -197,6 +197,14 @@ def kmeans_train(
             .join(upd, "cid", "left")
             .select("cid", F.coalesce("ce", "ce_prev").alias("ce"))
         )
+        # materialize the K-row model on the driver between rounds (the
+        # trained model IS driver-scale: K × D doubles). Without this, each
+        # round's plan embeds the whole previous round's lineage and the
+        # final assignment re-plans/re-executes it — plan depth and work
+        # grow per iteration. Python float round-trip is exact IEEE double,
+        # so oracle parity is untouched.
+        rows = [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in cents.collect()]
+        cents = embeddings.sparkSession.createDataFrame(rows, "cid long, ce array<double>")
     return cents
 
 

@@ -391,15 +391,15 @@ class SnapshotTable:
         return set(self._load_manifest()["committed_epochs"])
 
     def _read_base(self, m: dict) -> DataFrame:
+        """Full base read via the manifest schema (``_read_dirs``): the
+        recorded schema is the superset of every written file's, so the
+        explicit-schema read backfills evolved columns with nulls AND skips
+        the one-footer-per-file merge pass ``mergeSchema`` costs — at 100 TB
+        that pass is a driver-side metadata read over every file."""
         dirs = sorted(set(m["buckets"].values()))
         dirs = [os.path.join(self.path, d) for d in dirs]
         dirs = [d for d in dirs if os.path.isdir(d)]
-        if not dirs:
-            schema = T.StructType.fromJson(json.loads(m["schema"])) if m.get("schema") else self._default_schema
-            if schema is None:
-                raise ValueError("empty table with no schema recorded")
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        return self._read_dirs(m, dirs)
 
     def versions(self) -> list[int]:
         """Committed snapshot versions still readable (time-travel log)."""

@@ -126,6 +126,50 @@ def main() -> None:
         "prefix. No global sort, no driver state.",
     )
 
+    # ---- r4: bucket-local MOR read + point lookup + transcript exports ----
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    tdir = os.path.join(tempfile.mkdtemp(), "t")
+    t = SnapshotTable(spark, tdir, ("k",), num_buckets=8)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(400)], ["k", "v"]), epoch_id="b0")
+    t.merge_mor(spark.createDataFrame([(7, "new")], ["k", "v"]), None, epoch_id="d1", n_updates=1)
+    cap(
+        "MOR read with outstanding deltas (bucket-local LWW resolution)",
+        t.read(),
+        "Union of two branches: the LWW SortAggregate+Exchange covers ONLY "
+        "the delta-touched bucket's scan unioned with the delta scan "
+        "(executed metrics in test_plans: 56 records shuffled of 401), and "
+        "the untouched base buckets pass through as a bare scan with NO "
+        "exchange. Between compactions a 100-TB read pays a shuffle "
+        "proportional to the touched slice, not the table.",
+    )
+    cap(
+        "Point lookup via read_keys (probe-bucket pruning)",
+        t.read_keys(spark.createDataFrame([(7,), (123,)], ["k"])),
+        "Only the probed keys' bucket dirs appear in the scan (2 of 8 files "
+        "read, pinned by executed metrics in test_plans); the final "
+        "left_semi against the probe keys is a BroadcastHashJoin — the "
+        "reference's O(1)-by-key document fetch, table-side.",
+    )
+
+    from go_dcp_kafka_spark.functions.transcripts import assemble_conversations, sft_pairs
+
+    folded = fold_change_events(ev)
+    cap(
+        "Conversation assembly (one training document per conv)",
+        assemble_conversations(folded),
+        "The fold's key exchange feeds a conv_id-grouped ObjectHashAggregate "
+        "(collect_list partial-aggregates map-side); turn ordering is a "
+        "per-row array_sort bounded by conversation length — no global "
+        "orderBy anywhere.",
+    )
+    cap(
+        "SFT (prompt, response) pair extraction",
+        sft_pairs(folded),
+        "One hash exchange on conv_id feeds the lead() window; the "
+        "filter is a projection on top. No global sort, no driver state.",
+    )
+
     out = (
         "# PLANS — physical plans of the core operators (captured from .explain)\n\n"
         "Regenerate: `python tools/dump_plans.py` (this file).\n\n" + "\n".join(sections)
