@@ -60,6 +60,8 @@ class PipelineConfig:
     num_buckets: int = 16
     merge_mode: str | None = None         # 'cow' | 'mor' | None = auto (streaming -> mor)
     compact_every: int | None = None      # None = 64 under MOR, 0 = manual only
+    compact_delta_bytes: int | None = None  # ALSO compact when outstanding delta bytes reach this
+    dlq_retention_epochs: int | None = None  # prune _rejections dirs N epochs behind newest
     expire_every: int | None = None       # run snapshot expiry each N epochs (None = manual)
     keep_snapshots: int = 2               # snapshots retained by expiry (time-travel window)
     max_files_per_trigger: int = 2        # producerBatchSize analog (count threshold)
@@ -180,6 +182,8 @@ class PipelineBuilder:
             strict_routing=c.strict_routing,
             merge_mode=c.merge_mode,
             compact_every=c.compact_every,
+            compact_delta_bytes=c.compact_delta_bytes,
+            dlq_retention_epochs=c.dlq_retention_epochs,
             expire_every=c.expire_every,
             keep_snapshots=c.keep_snapshots,
             max_message_bytes=c.max_message_bytes,

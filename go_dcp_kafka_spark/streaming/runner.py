@@ -108,6 +108,7 @@ class CdcPipeline:
         strict_routing: bool = False,
         merge_mode: str | None = None,
         compact_every: int | None = None,
+        compact_delta_bytes: int | None = None,
         dlq_retention_epochs: int | None = None,
         max_message_bytes: int | None = None,
         metrics=None,
@@ -132,6 +133,12 @@ class CdcPipeline:
         ``expire_every``: run ``expire_snapshots(keep_last=keep_snapshots)``
         on every table each N epochs — without it a long-running stream
         accumulates one snapshot manifest per epoch forever.
+
+        ``compact_delta_bytes``: ALSO compact a table when its outstanding
+        delta bytes (manifest metadata, zero IO) reach this threshold —
+        the size-based trigger a production table wants: epoch count is a
+        proxy, read amplification is actually ∝ delta BYTES, and epoch
+        sizes vary. Either trigger firing compacts and resets both.
 
         ``dlq_retention_epochs``: prune ``_rejections`` epoch dirs more than
         N epochs behind the newest rejection epoch (checked on the
@@ -160,6 +167,7 @@ class CdcPipeline:
         if compact_every is None and (merge_mode or "mor") == "mor":
             compact_every = 64  # bound the read-side delta list by default
         self.compact_every = compact_every or None
+        self.compact_delta_bytes = compact_delta_bytes
         self.dlq_retention_epochs = dlq_retention_epochs
         self.expire_every = expire_every
         self.keep_snapshots = keep_snapshots
@@ -476,9 +484,13 @@ class CdcPipeline:
                     # metadata) — no extra count job per epoch
                     n = res.get("n_upserts")
                     total += int(n) if n is not None else winners.count()
-                if mode == "mor" and self.compact_every:
+                if mode == "mor" and (self.compact_every or self.compact_delta_bytes):
                     n_since = self._epochs_since_compact.get(name, 0) + 1
-                    if n_since >= self.compact_every:
+                    due = bool(self.compact_every) and n_since >= self.compact_every
+                    if not due and self.compact_delta_bytes:
+                        # size-based trigger: manifest metadata only, no IO
+                        due = table.delta_stats()["bytes"] >= self.compact_delta_bytes
+                    if due:
                         table.compact()
                         n_since = 0
                     self._epochs_since_compact[name] = n_since

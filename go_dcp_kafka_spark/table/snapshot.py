@@ -537,6 +537,19 @@ class SnapshotTable:
                 resolved = resolved.unionByName(self._read_dirs(m, pdirs), allowMissingColumns=True)
         return resolved
 
+    def delta_stats(self) -> dict[str, int]:
+        """Outstanding MOR delta totals from manifest metadata (no IO beyond
+        the manifest): {'n_deltas', 'rows', 'bytes'}. Entries written before
+        stats were recorded count as 0 rows/bytes."""
+        m = self._load_manifest()
+        out = {"n_deltas": 0, "rows": 0, "bytes": 0}
+        for entry in m.get("deltas", []):
+            out["n_deltas"] += 1
+            if isinstance(entry, dict):
+                out["rows"] += int(entry.get("rows", 0) or 0)
+                out["bytes"] += int(entry.get("bytes", 0) or 0)
+        return out
+
     def read_keys(self, keys: DataFrame) -> DataFrame:
         """Point-lookup / key-pruned read: current state for exactly the
         given keys, reading ONLY the bucket dirs those keys hash to.
@@ -702,10 +715,11 @@ class SnapshotTable:
         # upserts come from the key-grouped fold: already bucket-aligned, no
         # repartition (deltas are small; one file per bucket per task)
         rows.write.option("compression", self.compression).partitionBy("_bucket").mode("overwrite").parquet(out_dir)
-        # row count from the written files' parquet FOOTERS — driver-side
-        # metadata read, zero extra Spark jobs (delta rows == LWW winners, so
-        # this is the epoch's merged-key count)
-        n_rows = _parquet_footer_rows(out_dir)
+        # row count + byte size from the written files' parquet FOOTERS —
+        # driver-side metadata read, zero extra Spark jobs (delta rows ==
+        # LWW winners, so this is the epoch's merged-key count; bytes feed
+        # the size-based compaction trigger)
+        n_rows, n_bytes = _parquet_footer_stats(out_dir)
         delta_schema = upserts.schema
         for attempt in range(_OCC_MAX_RETRIES * 4):
             m = self._load_manifest()
@@ -714,7 +728,7 @@ class SnapshotTable:
                 # our staged dir is an orphan (expire_snapshots GCs it)
                 return {"skipped": True, "epoch": epoch_id, "version": m["version"]}
             new_version = m["version"] + 1
-            m["deltas"].append({"dir": rel_dir, "v": new_version})
+            m["deltas"].append({"dir": rel_dir, "v": new_version, "rows": n_rows, "bytes": n_bytes})
             m["version"] = new_version
             # record/merge the table schema: a MOR-only table must be
             # readable by a fresh handle (no ctor schema), and an evolved
@@ -989,18 +1003,24 @@ class SnapshotTable:
                 shutil.rmtree(full, ignore_errors=True)
 
 
-def _parquet_footer_rows(out_dir: str) -> int:
-    """Sum num_rows over the parquet footers under ``out_dir`` — a
+def _parquet_footer_stats(out_dir: str) -> tuple[int, int]:
+    """(rows, bytes) over the parquet files under ``out_dir`` — a
     driver-side metadata read (no Spark job). File count is bounded by
     buckets × tasks per epoch."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
-    total = 0
+    rows = 0
+    size = 0
     for f in _glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True):
-        total += pq.ParquetFile(f).metadata.num_rows
-    return total
+        rows += pq.ParquetFile(f).metadata.num_rows
+        size += os.path.getsize(f)
+    return rows, size
+
+
+def _parquet_footer_rows(out_dir: str) -> int:
+    return _parquet_footer_stats(out_dir)[0]
 
 
 def iceberg_merge_sql(target: str, source_view: str, key_cols: tuple[str, ...], payload_cols: tuple[str, ...]) -> str:

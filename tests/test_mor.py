@@ -119,3 +119,26 @@ def test_compact_is_bucket_local(spark, tmp_path):
     # GC keeps mixed-version references alive
     t.expire_snapshots(keep_last=1, orphan_grace_sec=0)
     assert {r["k"]: r["v"] for r in t.read().collect()} == got
+
+
+def test_compact_delta_bytes_trigger(spark, gen_result, log_info, tmp_path):
+    """Size-based compaction: with a tiny byte threshold every epoch's delta
+    trips the trigger even though compact_every is far away; delta_stats()
+    reports manifest-recorded rows/bytes."""
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "t"), run_id="morb", merge_mode="mor",
+        compact_every=10_000, compact_delta_bytes=1,
+    )
+    pipe.run_stream(log_info["dir"], str(tmp_path / "ck"), max_files_per_trigger=2)
+    tbl = pipe.tables["transcripts"]
+    stats = tbl.delta_stats()
+    assert stats["n_deltas"] == 0, f"byte trigger never fired: {stats}"
+    assert_frames_equal(pipe.read_table().toPandas(), fold_oracle(gen_result.events))
+    # and with a huge threshold, deltas accumulate (bytes visible in stats)
+    pipe2 = CdcPipeline(
+        spark, str(tmp_path / "t2"), run_id="morb2", merge_mode="mor",
+        compact_every=10_000, compact_delta_bytes=1 << 40,
+    )
+    pipe2.run_stream(log_info["dir"], str(tmp_path / "ck2"), max_files_per_trigger=2)
+    s2 = pipe2.tables["transcripts"].delta_stats()
+    assert s2["n_deltas"] > 0 and s2["bytes"] > 0 and s2["rows"] > 0

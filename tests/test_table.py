@@ -206,3 +206,36 @@ def test_read_changes_incremental_scan(spark, tmp_path):
     ch = {r["k"]: (r["v"], r["extra"], r["_change"]) for r in t.read_changes(v1).collect()}
     assert ch[1] == ("a", "x", "update")   # same v, new extra value => update
     assert ch[4] == ("d", None, "insert")
+
+
+def test_read_keys_equals_semi_join_across_states(spark, tmp_path):
+    """read_keys ≡ read().join(keys, semi) across table states: fresh base,
+    outstanding deltas (upserts + deletes), post-compaction, composite keys."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    rng = random.Random(7)
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("cid", "tid"), num_buckets=8)
+    base = [(f"c{i % 37}", i // 37, f"v{i}") for i in range(300)]
+    t.overwrite(spark.createDataFrame(base, ["cid", "tid", "v"]), epoch_id="b0")
+
+    def check(tag):
+        probe = [(f"c{rng.randrange(40)}", rng.randrange(10)) for _ in range(12)]
+        keys = spark.createDataFrame(probe, ["cid", "tid"])
+        got = sorted(tuple(r) for r in t.read_keys(keys).collect())
+        exp = sorted(
+            tuple(r) for r in t.read().join(keys.distinct(), ["cid", "tid"], "left_semi").collect()
+        )
+        assert got == exp, f"{tag}: {got} != {exp}"
+
+    check("base")
+    ups = [(f"c{i % 37}", i // 37, f"u{i}") for i in range(0, 300, 7)]
+    t.merge_mor(spark.createDataFrame(ups, ["cid", "tid", "v"]),
+                spark.createDataFrame([("c1", 0), ("c2", 0)], ["cid", "tid"]),
+                epoch_id="d1", n_updates=len(ups) + 2)
+    check("with-deltas")
+    t.compact()
+    check("post-compaction")
