@@ -135,6 +135,22 @@ _TYPE_BYTES = {
 }
 
 
+#: Legal type-widening chains (the Iceberg schema-evolution promotions:
+#: int -> long, float -> double). Files written at the narrower type read
+#: back correctly under the wider manifest schema (Spark's parquet reader
+#: upcasts int32->int64 / float->double when the requested schema is wider).
+_WIDEN_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3, "float": 10, "double": 11}
+
+
+def _wider_type(a: T.DataType, b: T.DataType) -> bool:
+    """True iff ``a`` is a strictly wider type than ``b`` on a legal
+    widening chain (same chain: integers 0-3, floats 10-11)."""
+    ra, rb = _WIDEN_RANK.get(a.typeName()), _WIDEN_RANK.get(b.typeName())
+    if ra is None or rb is None:
+        return False
+    return (ra // 10 == rb // 10) and ra > rb
+
+
 def _est_row_bytes(schema: T.StructType) -> int:
     return sum(_TYPE_BYTES.get(f.dataType.typeName(), 64) for f in schema.fields)
 
@@ -736,11 +752,19 @@ class SnapshotTable:
             # dropping old columns
             if m.get("schema"):
                 merged = T.StructType.fromJson(json.loads(m["schema"]))
-                have = {f.name for f in merged.fields}
+                by_name = {f.name: i for i, f in enumerate(merged.fields)}
+                fields = list(merged.fields)
                 for f in delta_schema.fields:
-                    if f.name not in have:
-                        merged = T.StructType([*merged.fields, f])
-                m["schema"] = merged.json()
+                    if f.name not in by_name:
+                        by_name[f.name] = len(fields)
+                        fields.append(f)
+                    elif _wider_type(f.dataType, fields[by_name[f.name]].dataType):
+                        # TYPE WIDENING (Iceberg int->long / float->double
+                        # promotion): record the wider type; files written
+                        # at the narrower width upcast at read under the
+                        # explicit manifest schema
+                        fields[by_name[f.name]] = T.StructField(f.name, f.dataType, True)
+                m["schema"] = T.StructType(fields).json()
             else:
                 m["schema"] = delta_schema.json()
             self._record_epoch(m, epoch_id, new_version)
@@ -847,9 +871,15 @@ class SnapshotTable:
         new = self.read(version=to_version) if to_version is not None else self.read()
         old = self.read(version=from_version)
         payload = [c for c in new.columns if c not in self.key_cols]
+        new_types = dict(new.dtypes)
+        old_types = dict(old.dtypes)
         for c in payload:
             if c not in old.columns:
-                old = old.withColumn(c, F.lit(None).cast(dict(new.dtypes)[c]))
+                old = old.withColumn(c, F.lit(None).cast(new_types[c]))
+            elif old_types[c] != new_types[c]:
+                # type-widened between the snapshots (int->long etc.): align
+                # the old side so the payload-struct comparison is typed
+                old = old.withColumn(c, F.col(c).cast(new_types[c]))
         o = old.select(*self.key_cols, F.struct(*[F.col(c) for c in payload]).alias("_old"))
         n = new.select(*self.key_cols, F.struct(*[F.col(c) for c in payload]).alias("_new"))
         j = o.join(n, on=list(self.key_cols), how="full_outer")

@@ -142,3 +142,47 @@ def test_compact_delta_bytes_trigger(spark, gen_result, log_info, tmp_path):
     pipe2.run_stream(log_info["dir"], str(tmp_path / "ck2"), max_files_per_trigger=2)
     s2 = pipe2.tables["transcripts"].delta_stats()
     assert s2["n_deltas"] > 0 and s2["bytes"] > 0 and s2["rows"] > 0
+
+
+def test_type_widening_int_to_long(spark, tmp_path):
+    """Iceberg-style type promotion: a delta carrying x as LONG widens the
+    recorded schema; base files written at INT upcast on read; values past
+    2^31 survive; compaction and changelog reads keep the wide type."""
+    from pyspark.sql import types as T
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    base = spark.createDataFrame(
+        [(i, i, float(i)) for i in range(40)],
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("f", T.FloatType()),
+        ]),
+    )
+    t.overwrite(base, epoch_id="b0")
+    v0 = t.version()
+    wide = spark.createDataFrame(
+        [(1, 5_000_000_000, 2.5)],
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("f", T.DoubleType()),
+        ]),
+    )
+    t.merge_mor(wide, None, epoch_id="d1", n_updates=1)
+    out = t.read()
+    types = dict(out.dtypes)
+    assert types["x"] == "bigint" and types["f"] == "double", types
+    got = {r["k"]: r["x"] for r in out.collect()}
+    assert got[1] == 5_000_000_000 and got[2] == 2 and len(got) == 40
+    # fresh handle (no ctor schema) sees the widened schema too
+    t2 = SnapshotTable(spark, str(tmp_path / "t"), ("k",))
+    assert dict(t2.read().dtypes)["x"] == "bigint"
+    t.compact()
+    assert dict(t.read().dtypes)["x"] == "bigint"
+    assert {r["k"]: r["x"] for r in t.read().collect()} == got
+    # changelog between the narrow and wide snapshots aligns types
+    ch = {r["k"]: (r["x"], r["_change"]) for r in t.read_changes(from_version=v0).collect()}
+    assert ch == {1: (5_000_000_000, "update")}
