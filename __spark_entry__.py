@@ -236,6 +236,29 @@ def q_cdc_to_profile(spark, sf_dir):
     return text_profile(docs)
 
 
+def q_cdc_type_widening(spark, sf_dir):
+    """Schema evolution, TYPE dimension: replay a change log whose late file
+    promotes x:int32->int64 (values past 2^31) and f:float32->float64
+    through the actual SnapshotTable MOR path — the manifest schema widens
+    (Iceberg int->long/float->double promotion) and narrow base files
+    upcast at read. Oracle = DuckDB read_parquet(union_by_name), which
+    performs the identical widening, + LWW by key."""
+    import tempfile
+
+    from go_dcp_kafka_spark.gen import materialize_widening_log
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    path = materialize_widening_log()
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="gdks_widen_"), ("k",), num_buckets=4)
+    early = spark.read.parquet(f"{path}/part-0.parquet")
+    late = spark.read.parquet(f"{path}/part-1.parquet")
+    t.overwrite(early.select("k", "x", "f"), epoch_id="w0")
+    t.merge_mor(late.select("k", "x", "f"), None, epoch_id="w1", n_updates=late.count())
+    return t.read().select(
+        "k", F.col("x").cast("long").alias("x"), F.col("f").cast("double").alias("f")
+    )
+
+
 def q_cdc_assemble_convs(spark, sf_dir):
     """Transcript payload -> training documents: fold the flagship change
     log, then assemble ONE document per conversation (turns in stable
@@ -746,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_to_profile": q_cdc_to_profile,
         "cdc_full_fold": q_cdc_full_fold,
+        "cdc_type_widening": q_cdc_type_widening,
         "cdc_assemble_convs": q_cdc_assemble_convs,
         "cdc_sft_pairs": q_cdc_sft_pairs,
         "sort_topk": q_sort_topk,
@@ -914,7 +938,7 @@ def _ivf_kmeans_sql(k: int = 8) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from go_dcp_kafka_spark.gen import materialize_evolved_log, materialize_flagship_log
+    from go_dcp_kafka_spark.gen import materialize_evolved_log, materialize_flagship_log, materialize_widening_log
 
     # materialize the fixtures NOW so the oracle can read them even if the
     # driver runs the SQL before (or without) the Spark query
@@ -1043,6 +1067,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id % 8
         """,
         "cdc_full_fold": fold_sql,
+        "cdc_type_widening": f"""
+            SELECT k, x, f FROM (
+                SELECT *, row_number() OVER (PARTITION BY k ORDER BY seqno DESC) AS rn
+                FROM read_parquet('{materialize_widening_log()}/*.parquet', union_by_name=true))
+            WHERE rn = 1
+        """,
         "cdc_assemble_convs": f"""
             WITH f AS ({fold_sql}),
             a AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,

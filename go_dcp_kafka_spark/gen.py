@@ -403,6 +403,59 @@ def materialize_evolved_log(path: str | None = None) -> str:
     return path
 
 
+def materialize_widening_log(path: str | None = None) -> str:
+    """Fixture for the TYPE-WIDENING driver query: a directory with two
+    parquet change files over key ``k`` where the early file writes
+    ``x:int32`` / ``f:float32`` and the late file re-writes a subset of keys
+    as ``x:int64`` (values past 2^31) / ``f:float64`` — the Iceberg
+    int->long / float->double promotion mid-stream. Idempotent + atomic so
+    the Spark query and the DuckDB oracle (read_parquet union_by_name,
+    which widens the same way) see the identical fixture. ``f`` values are
+    halves (exactly representable in float32) so the upcast is bit-exact."""
+    import tempfile
+
+    import numpy as np
+
+    if path is None:
+        cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
+        try:
+            os.makedirs(cache, exist_ok=True)
+            path = os.path.join(cache, "gdks_widening_log_v1")
+        except OSError:
+            path = os.path.join(tempfile.gettempdir(), "gdks_widening_log_v1")
+    if os.path.exists(os.path.join(path, "part-1.parquet")):
+        return path
+    tmp = f"{path}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    k = np.arange(50, dtype=np.int64)
+    early = pd.DataFrame(
+        {
+            "k": k,
+            "seqno": np.ones(50, dtype=np.int64),
+            "x": (k * 3).astype(np.int32),
+            "f": (k.astype(np.float32) / 2.0).astype(np.float32),
+        }
+    )
+    late_k = k[k % 5 == 0]
+    late = pd.DataFrame(
+        {
+            "k": late_k,
+            "seqno": np.full(len(late_k), 2, dtype=np.int64),
+            "x": (late_k + 5_000_000_000).astype(np.int64),
+            "f": (late_k.astype(np.float64) + 0.5),
+        }
+    )
+    early.to_parquet(os.path.join(tmp, "part-0.parquet"), index=False)
+    late.to_parquet(os.path.join(tmp, "part-1.parquet"), index=False)
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def fold_oracle(events: pd.DataFrame) -> pd.DataFrame:
     """Sequential reference fold: the semantics the distributed engine must
     reproduce exactly. Applies events in delivery order with per-partition
