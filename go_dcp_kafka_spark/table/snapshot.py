@@ -194,6 +194,7 @@ class SnapshotTable:
         schema: T.StructType | None = None,
         compression: str = "snappy",
         epoch_retention: int = EPOCH_RETENTION,
+        sort_within_buckets: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -203,10 +204,24 @@ class SnapshotTable:
         if compression not in self.COMPRESSIONS:
             raise ValueError(f"compression must be one of {self.COMPRESSIONS}, got {compression!r}")
         self.compression = compression
+        #: sort rows by key inside each bucket file at write time: parquet
+        #: row-group min/max stats on the key columns become SELECTIVE, so a
+        #: pushed key predicate (read_keys) skips row groups inside the
+        #: bucket dir — point-lookup IO becomes O(probe), not O(bucket).
+        #: Costs a per-write in-task sort (no extra exchange: the sort rides
+        #: the existing bucket partitioning); off by default.
+        self.sort_within_buckets = bool(sort_within_buckets)
         self.epoch_retention = max(int(epoch_retention), 1)
         os.makedirs(path, exist_ok=True)
         self._tlock = threading.RLock()
         self._lock_depth = 0
+
+    def _maybe_sorted(self, dfb: DataFrame) -> DataFrame:
+        """Apply the optional within-bucket key sort before a partitionBy
+        write (in-task sort on the existing partitioning — no exchange)."""
+        if self.sort_within_buckets:
+            return dfb.sortWithinPartitions("_bucket", *self.key_cols)
+        return dfb
 
     @contextmanager
     def _write_lock(self):
@@ -585,10 +600,24 @@ class SnapshotTable:
         m = self._load_manifest()
         bexpr = _bucket_expr(self.key_cols, m["num_buckets"])
         kdf = keys.select(*self.key_cols).distinct()
-        probed = sorted(
-            r["_b"] for r in kdf.select(bexpr.alias("_b")).distinct().collect()
-        )
+        # small probe sets (the point-lookup case) come back whole so the
+        # key values can be pushed down; past the cap only the bucket ids
+        # are collected (still bounded by num_buckets)
+        probe_rows = kdf.withColumn("_b", bexpr).limit(1025).collect()
+        if len(probe_rows) > 1024:
+            probed = sorted(r["_b"] for r in kdf.select(bexpr.alias("_b")).distinct().collect())
+        else:
+            probed = sorted({r["_b"] for r in probe_rows})
         state = self._resolve_lww(m, self._delta_entries(m), probed)
+        if len(probe_rows) <= 1024:
+            # push the first key column as an IN predicate onto the scans:
+            # with sort_within_buckets the parquet row-group min/max stats on
+            # that column are selective, so IO inside each probed bucket dir
+            # drops to the matching row groups (O(probe), not O(bucket)).
+            # Semantics unchanged — the semi-join below remains the exact
+            # multi-column filter.
+            k0 = self.key_cols[0]
+            state = state.filter(F.col(k0).isin(sorted({r[k0] for r in probe_rows})))
         return state.join(F.broadcast(kdf), on=list(self.key_cols), how="left_semi")
 
     def _read_buckets(self, m: dict, buckets: list[int]) -> DataFrame | None:
@@ -667,7 +696,7 @@ class SnapshotTable:
                 combined = upserts
             if touched:
                 (
-                    combined.repartition(max(len(touched), 1), F.col("_bucket"))
+                    self._maybe_sorted(combined.repartition(max(len(touched), 1), F.col("_bucket")))
                     .write.option("compression", self.compression).partitionBy("_bucket")
                     .mode("overwrite")
                     .parquet(out_dir)
@@ -730,7 +759,7 @@ class SnapshotTable:
         rows = rows.withColumn("_bucket", bexpr)
         # upserts come from the key-grouped fold: already bucket-aligned, no
         # repartition (deltas are small; one file per bucket per task)
-        rows.write.option("compression", self.compression).partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        self._maybe_sorted(rows).write.option("compression", self.compression).partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         # row count + byte size from the written files' parquet FOOTERS —
         # driver-side metadata read, zero extra Spark jobs (delta rows ==
         # LWW winners, so this is the epoch's merged-key count; bytes feed
@@ -804,9 +833,9 @@ class SnapshotTable:
         rel_dir = self._new_data_dir(new_version)
         out_dir = os.path.join(self.path, rel_dir)
         bexpr = _bucket_expr(self.key_cols, self.num_buckets)
-        resolved.withColumn("_bucket", bexpr).write.option("compression", self.compression).partitionBy("_bucket").mode(
-            "overwrite"
-        ).parquet(out_dir)
+        self._maybe_sorted(resolved.withColumn("_bucket", bexpr)).write.option(
+            "compression", self.compression
+        ).partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         for b in touched:
             bdir = os.path.join(rel_dir, f"_bucket={b}")
             if os.path.isdir(os.path.join(self.path, bdir)):
@@ -840,7 +869,7 @@ class SnapshotTable:
         dfb = df.withColumn("_bucket", bexpr)
         if not aligned:
             dfb = dfb.repartition(self.num_buckets, F.col("_bucket"))
-        dfb.write.option("compression", self.compression).partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        self._maybe_sorted(dfb).write.option("compression", self.compression).partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         m["buckets"] = {}
         for entry in os.listdir(out_dir):
             if entry.startswith("_bucket="):
@@ -852,7 +881,24 @@ class SnapshotTable:
         self._commit_manifest(m)
         return {"version": new_version}
 
-    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def _epoch_to_version(self, epoch_id: str) -> int:
+        m = self._load_manifest()
+        if str(epoch_id) not in m["committed_epochs"]:
+            if self._is_epoch_committed(m, str(epoch_id)):
+                raise ValueError(
+                    f"epoch {epoch_id!r} was committed but has left the retained "
+                    f"window (epoch_retention={self.epoch_retention}); address by version"
+                )
+            raise ValueError(f"epoch {epoch_id!r} was never committed to this table")
+        return int(m["committed_epochs"][str(epoch_id)])
+
+    def read_changes(
+        self,
+        from_version: int | None = None,
+        to_version: int | None = None,
+        from_epoch: str | None = None,
+        to_epoch: str | None = None,
+    ) -> DataFrame:
         """Incremental (changelog) read: the NET row-level changes between
         two retained snapshots — the Iceberg incremental-scan / CDC-feed
         analog. A downstream consumer that processed the table as of
@@ -867,7 +913,17 @@ class SnapshotTable:
         bound the cost. Schema evolution between the snapshots is handled by
         aligning the old side to the new schema (missing columns read as
         null, so a backfilled column shows up as 'update' only where values
-        actually differ)."""
+        actually differ).
+
+        Snapshots address by ``from_version``/``to_version`` OR by committed
+        epoch id (``from_epoch``/``to_epoch`` — the CDC-consumer-friendly
+        handle: 'what changed since the epoch I last processed')."""
+        if from_epoch is not None:
+            from_version = self._epoch_to_version(from_epoch)
+        if to_epoch is not None:
+            to_version = self._epoch_to_version(to_epoch)
+        if from_version is None:
+            raise ValueError("read_changes requires from_version or from_epoch")
         new = self.read(version=to_version) if to_version is not None else self.read()
         old = self.read(version=from_version)
         payload = [c for c in new.columns if c not in self.key_cols]

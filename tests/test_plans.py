@@ -244,3 +244,20 @@ def test_read_keys_resolves_mor_deltas_bucket_locally(spark, tmp_path):
     keys = spark.createDataFrame([(7,), (9,), (123,), (55,)], ["k"])
     got = {r["k"]: r["v"] for r in t.read_keys(keys).collect()}
     assert got == {7: "new7", 9: "new9", 55: "v55"}  # 123 deleted
+
+
+def test_read_keys_pushes_key_predicate_with_sorted_buckets(spark, tmp_path):
+    """With sort_within_buckets, read_keys pushes the first key column as an
+    IN predicate to the parquet scan (row-group skipping via selective
+    min/max stats) and results stay exact."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4, sort_within_buckets=True)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(400)], ["k", "v"]), epoch_id="b0")
+    keys = spark.createDataFrame([(7,), (250,)], ["k"])
+    df = t.read_keys(keys)
+    plan = _plan(df)
+    scan_line = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    pushed = scan_line.split("PushedFilters")[1][:80]
+    assert "In(k, [" in pushed and "7" in pushed and "250" in pushed, scan_line
+    assert sorted(tuple(r) for r in df.collect()) == [(7, "v7"), (250, "v250")]

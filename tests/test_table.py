@@ -239,3 +239,25 @@ def test_read_keys_equals_semi_join_across_states(spark, tmp_path):
     check("with-deltas")
     t.compact()
     check("post-compaction")
+
+
+def test_read_changes_epoch_addressing(spark, tmp_path):
+    """read_changes(from_epoch=...) resolves committed epoch ids to snapshot
+    versions — the CDC-consumer handle ('what changed since the epoch I
+    last processed'); unknown epochs raise."""
+    import pytest as _pytest
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), None, epoch_id="run:0", n_updates=2)
+    t.merge(spark.createDataFrame([(2, "b2"), (3, "c")], ["k", "v"]), None, epoch_id="run:1", n_updates=2)
+    ch = {r["k"]: r["_change"] for r in t.read_changes(from_epoch="run:0").collect()}
+    assert ch == {2: "update", 3: "insert"}
+    by_version = {r["k"]: r["_change"] for r in t.read_changes(from_version=1).collect()}
+    assert by_version == ch
+    assert t.read_changes(from_epoch="run:0", to_epoch="run:1").count() == 2
+    with _pytest.raises(ValueError):
+        t.read_changes(from_epoch="nope:9")
+    with _pytest.raises(ValueError):
+        t.read_changes()
