@@ -508,6 +508,20 @@ def q_doc_repetition(spark, sf_dir):
     return repetition_stats(_spread(_read(spark, sf_dir, "documents")))
 
 
+def q_doc_dedup_segments(spark, sf_dir):
+    """Corpus-wide segment-level exact dedup (RefinedWeb-style boilerplate
+    removal): 8-word segments, first global occurrence wins, docs
+    reassembled from surviving segments. Scalar outputs (counts + rebuilt-
+    text hash)."""
+    from go_dcp_kafka_spark.functions.corpus import dedup_segments
+    from go_dcp_kafka_spark.functions.hashing import md5_hash60
+
+    out = dedup_segments(_spread(_read(spark, sf_dir, "documents")))
+    return out.select(
+        "doc_id", "n_segments", "n_kept", md5_hash60(F.col("clean_text")).alias("clean_hash")
+    )
+
+
 def q_doc_pii_mask(spark, sf_dir):
     """PII scrubbing: deterministic synthetic PII (an email, SSN, phone, and
     IPv4 derived from doc_id) appended to each doc, then masked by the fixed
@@ -788,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assign": q_doc_split_assign,
         "doc_contamination": q_doc_contamination,
         "doc_repetition": q_doc_repetition,
+        "doc_dedup_segments": q_doc_dedup_segments,
         "doc_pii_mask": q_doc_pii_mask,
         "doc_pack_sequences": q_doc_pack_sequences,
         "events_sessionize": q_events_sessionize,
@@ -1310,6 +1325,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(a.top / CAST(a.n_grams AS DOUBLE), 6)
                    END AS top_gram_frac
             FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+        """,
+        "doc_dedup_segments": f"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[^\\s]+') AS ws FROM documents),
+            s0 AS (SELECT doc_id,
+                          [array_to_string(ws[i*8+1 : i*8+8], ' ')
+                           for i in range(0, CAST(ceil(len(ws) / 8.0) AS INT))] AS segs
+                   FROM w),
+            s AS (SELECT doc_id, unnest(segs) AS seg,
+                         generate_subscripts(segs, 1) - 1 AS pos
+                  FROM s0),
+            k AS (SELECT doc_id, pos, seg FROM
+                    (SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM s)
+                  WHERE rn = 1),
+            r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                         string_agg(seg, ' ' ORDER BY pos) AS clean_text
+                  FROM k GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(ceil(len(w.ws) / 8.0) AS BIGINT) AS n_segments,
+                   COALESCE(r.n_kept, 0) AS n_kept,
+                   {_H60.format(x="COALESCE(r.clean_text, '')")} AS clean_hash
+            FROM w LEFT JOIN r USING (doc_id)
         """,
         "doc_pii_mask": _pii_sql(),
         "doc_pack_sequences": """

@@ -200,3 +200,60 @@ def pack_sequences(
             (F.col("global_off") % window_tokens).alias("offset_in_window"),
         )
     )
+
+
+def dedup_segments(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+) -> DataFrame:
+    """Corpus-wide SEGMENT-level exact dedup (the RefinedWeb/CCNet-style
+    intra-document content dedup): split each doc into non-overlapping
+    ``seg_words``-word segments, keep only each segment's FIRST global
+    occurrence (ordered by doc_id then position), and reassemble every doc
+    from its surviving segments — boilerplate repeated across documents
+    (headers, footers, navigation) disappears from all but the first doc.
+
+    Scale shape: one shuffle keyed by the segment (the first-occurrence
+    window — same partitioning behavior as exact doc dedup, segment
+    frequency is Zipf but the window state per key is O(1)) + one doc-keyed
+    shuffle to reassemble (collect_list partial-aggregates map-side;
+    ordering is a per-row array_sort bounded by doc length). No collects,
+    no per-row Python.
+
+    Returns (doc_id, n_segments, n_kept, clean_text) — docs whose every
+    segment was seen earlier come back with clean_text = ''.
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WS_TOKEN_RE), 0)
+    n = F.size(words)
+    n_segs = F.ceil(n.cast("double") / seg_words).cast("int")
+    segs = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i * seg_words + 1, seg_words)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(F.col(id_col), F.posexplode(segs).alias("pos", "seg"))
+    w = Window.partitionBy("seg").orderBy(id_col, "pos")
+    kept = exploded.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = docs.select(F.col(id_col), n_segs.cast("long").alias("n_segments"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -469,3 +469,31 @@ def test_sft_pairs_plan_is_single_key_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_dedup_segments_semantics(spark):
+    """First global occurrence of a segment wins; later docs lose repeated
+    boilerplate but keep their unique content; fully-duplicated docs come
+    back empty."""
+    from go_dcp_kafka_spark.functions.corpus import dedup_segments
+
+    boiler = "subscribe to our newsletter now for more updates"  # exactly 8 words -> 1 segment
+    rows = [
+        (1, boiler + " unique alpha content here"),
+        (2, boiler + " totally different beta text"),
+        (3, boiler),
+        (4, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_segments(
+            spark.createDataFrame(rows, ["doc_id", "text"]), seg_words=8
+        ).collect()
+    }
+    assert out[1]["n_kept"] == out[1]["n_segments"]  # first doc keeps everything
+    assert "subscribe" in out[1]["clean_text"] and "alpha" in out[1]["clean_text"]
+    # docs 2/3 lose the 8-word boilerplate segment (kept only in doc 1)
+    assert "subscribe to our newsletter now for more updates" not in out[2]["clean_text"]
+    assert "beta" in out[2]["clean_text"]
+    assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""
+    assert out[4]["n_segments"] == 0 and out[4]["clean_text"] == ""
