@@ -444,8 +444,11 @@ class SnapshotTable:
         Driver-side directory metadata only — delta count is bounded by
         ``compact_every``, bucket subdirs by ``num_buckets``."""
         out: list[tuple[int | None, dict[int, str]]] = []
-        for entry in m.get("deltas", []):
-            rel, ver = (entry["dir"], int(entry["v"])) if isinstance(entry, dict) else (entry, None)
+        for idx, entry in enumerate(m.get("deltas", [])):
+            # legacy (pre-dict) entries carry no LWW version; the list order
+            # IS the append order, so position stands in — a null version
+            # would silently LOSE to the base (_v=0) in max_by
+            rel, ver = (entry["dir"], int(entry["v"])) if isinstance(entry, dict) else (entry, idx + 1)
             root = os.path.join(self.path, rel)
             if not os.path.isdir(root):
                 continue

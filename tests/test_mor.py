@@ -186,3 +186,28 @@ def test_type_widening_int_to_long(spark, tmp_path):
     # changelog between the narrow and wide snapshots aligns types
     ch = {r["k"]: (r["x"], r["_change"]) for r in t.read_changes(from_version=v0).collect()}
     assert ch == {1: (5_000_000_000, "update")}
+
+
+def test_legacy_string_delta_entries_resolve_in_append_order(spark, tmp_path):
+    """Pre-dict manifest format (plain dir strings, no LWW version): list
+    position stands in for the version — the latest delta must WIN, not
+    silently lose to the base via a null max_by ordinal."""
+    import json
+    import os
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(20)], ["k", "v"]), epoch_id="b0")
+    t.merge_mor(spark.createDataFrame([(3, "n3")], ["k", "v"]), None, epoch_id="d1", n_updates=1)
+    t.merge_mor(spark.createDataFrame([(3, "n3b"), (4, "n4")], ["k", "v"]), None, epoch_id="d2", n_updates=2)
+    m = t._load_manifest()
+    m["deltas"] = [e["dir"] for e in m["deltas"]]  # simulate the legacy format
+    vf = t._vfile(m["version"])
+    os.remove(vf)
+    with open(vf, "w") as f:
+        json.dump(m, f)
+    with open(t._manifest_path(), "w") as f:
+        json.dump(m, f)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[3] == "n3b" and got[4] == "n4" and len(got) == 20
