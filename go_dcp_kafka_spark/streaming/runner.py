@@ -522,12 +522,13 @@ class CdcPipeline:
         """The dead-letter table across all epochs and stages."""
         import os
 
+        import glob
+
         root = self.rejections_dir
-        if not os.path.isdir(root) or not any(
-            f.endswith(".parquet")
-            for d in os.listdir(root)
-            if os.path.isdir(os.path.join(root, d))
-            for f in os.listdir(os.path.join(root, d))
+        # recursive probe: finds rows at ANY depth, including flat files an
+        # older append-mode DLQ wrote directly at the root (r4 review)
+        if not os.path.isdir(root) or not glob.glob(
+            os.path.join(root, "**", "*.parquet"), recursive=True
         ):
             return self.spark.createDataFrame([], REJECTION_SCHEMA)
         return self.spark.read.option("recursiveFileLookup", "true").parquet(root)
@@ -543,17 +544,19 @@ class CdcPipeline:
 
         if not self.dlq_retention_epochs or not os.path.isdir(self.rejections_dir):
             return
-        entries = []
+        # group by STREAM prefix before comparing: epoch numbering restarts
+        # per run_id, so a restarted pipeline's fresh epoch-0 dirs must not
+        # be pruned by a previous run's higher numbers (r4 review)
+        by_stream: dict[str, list[tuple[int, str]]] = {}
         for d in os.listdir(self.rejections_dir):
-            mm = re.search(r"-(\d{12})-[a-z]+$", d)
+            mm = re.match(r"(.+)-(\d{12})-[a-z]+$", d)
             if mm:
-                entries.append((int(mm.group(1)), d))
-        if not entries:
-            return
-        newest = max(n for n, _ in entries)
-        for n, d in entries:
-            if n < newest - self.dlq_retention_epochs:
-                shutil.rmtree(os.path.join(self.rejections_dir, d), ignore_errors=True)
+                by_stream.setdefault(mm.group(1), []).append((int(mm.group(2)), d))
+        for entries in by_stream.values():
+            newest = max(n for n, _ in entries)
+            for n, d in entries:
+                if n < newest - self.dlq_retention_epochs:
+                    shutil.rmtree(os.path.join(self.rejections_dir, d), ignore_errors=True)
 
     def _reject(self, rows: DataFrame, error: str, epoch_key, error_class: str = REJECT_VALIDATION, stage: str = "route") -> None:
         if rows.isEmpty():

@@ -216,6 +216,51 @@ class SnapshotTable:
         self._tlock = threading.RLock()
         self._lock_depth = 0
 
+    def _align_key_types(self, df: DataFrame, m: dict) -> DataFrame:
+        """Cast the key columns of ``df`` to the table's RECORDED key types.
+
+        ``F.hash`` (murmur3) is type-sensitive — hash(7::int) !=
+        hash(7::bigint) — so a caller passing differently-typed keys would
+        bucket rows into the wrong dirs: a COW anti-join that removes
+        nothing (duplicate keys), a MOR delta the bucket-local read pairs
+        with the wrong base bucket, a point lookup probing dirs the key was
+        never written to. One canonical key dtype, enforced at every entry
+        point, removes the whole class. (This is also why schema evolution
+        never widens KEY columns — that requires ``rebucket()``.)"""
+        if not m.get("schema"):
+            return df
+        types = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(json.loads(m["schema"])).fields
+            if f.name in self.key_cols
+        }
+        cur = {f.name: f.dataType for f in df.schema.fields}
+        for k, dt in types.items():
+            if k in cur and cur[k] != dt:
+                df = df.withColumn(k, F.col(k).cast(dt))
+        return df
+
+    def _merge_schema_json(self, m: dict, new_schema: T.StructType) -> str:
+        """Widen the recorded manifest schema with ``new_schema``: add new
+        columns, promote non-key columns along the legal widening chains,
+        NEVER drop or narrow (a merge whose batch happens to miss an evolved
+        column must not erase it from the table — reads trust this schema).
+        Key columns keep their recorded type (see ``_align_key_types``)."""
+        if not m.get("schema"):
+            return new_schema.json()
+        merged = T.StructType.fromJson(json.loads(m["schema"]))
+        by_name = {f.name: i for i, f in enumerate(merged.fields)}
+        fields = list(merged.fields)
+        for f in new_schema.fields:
+            if f.name not in by_name:
+                by_name[f.name] = len(fields)
+                fields.append(f)
+            elif f.name not in self.key_cols and _wider_type(
+                f.dataType, fields[by_name[f.name]].dataType
+            ):
+                fields[by_name[f.name]] = T.StructField(f.name, f.dataType, True)
+        return T.StructType(fields).json()
+
     def _maybe_sorted(self, dfb: DataFrame) -> DataFrame:
         """Apply the optional within-bucket key sort before a partitionBy
         write (in-task sort on the existing partitioning — no exchange)."""
@@ -602,7 +647,7 @@ class SnapshotTable:
         """
         m = self._load_manifest()
         bexpr = _bucket_expr(self.key_cols, m["num_buckets"])
-        kdf = keys.select(*self.key_cols).distinct()
+        kdf = self._align_key_types(keys.select(*self.key_cols), m).distinct()
         # small probe sets (the point-lookup case) come back whole so the
         # key values can be pushed down; past the cap only the bucket ids
         # are collected (still bounded by num_buckets)
@@ -666,9 +711,10 @@ class SnapshotTable:
             m = self._load_manifest()
 
         bexpr = _bucket_expr(self.key_cols, self.num_buckets)
-        upserts = upserts.withColumn("_bucket", bexpr)
+        upserts = self._align_key_types(upserts, m).withColumn("_bucket", bexpr)
         keys = upserts.select(*self.key_cols, "_bucket")
         if delete_keys is not None:
+            delete_keys = self._align_key_types(delete_keys, m)
             keys = keys.unionByName(delete_keys.withColumn("_bucket", bexpr).select(*self.key_cols, "_bucket"))
         keys = keys.persist()
         try:
@@ -704,7 +750,11 @@ class SnapshotTable:
                     .mode("overwrite")
                     .parquet(out_dir)
                 )
-            schema_now = combined.drop("_bucket").schema
+            # widen the recorded schema with this batch's — never replace:
+            # a batch that misses an evolved column (or touches only empty
+            # buckets) must not erase that column from future reads, which
+            # trust the recorded schema (r4 review finding)
+            schema_now_json = self._merge_schema_json(m, combined.drop("_bucket").schema)
 
             for b in touched:
                 bdir = os.path.join(rel_dir, f"_bucket={b}")
@@ -713,7 +763,7 @@ class SnapshotTable:
                 else:
                     m["buckets"].pop(str(b), None)  # bucket emptied by deletes
             m["version"] = new_version
-            m["schema"] = schema_now.json()
+            m["schema"] = schema_now_json
             self._record_epoch(m, epoch_id, new_version)
             self._commit_manifest(m)
             return {
@@ -748,10 +798,11 @@ class SnapshotTable:
         rel_dir = self._new_data_dir(m["version"] + 1, delta=True)
         out_dir = os.path.join(self.path, rel_dir)
         bexpr = _bucket_expr(self.key_cols, self.num_buckets)
+        upserts = self._align_key_types(upserts, m)
         rows = upserts.withColumn("_op", F.lit("u"))
         if delete_keys is not None:
             rows = rows.unionByName(
-                delete_keys.select(*self.key_cols).withColumn("_op", F.lit("d")),
+                self._align_key_types(delete_keys, m).select(*self.key_cols).withColumn("_op", F.lit("d")),
                 allowMissingColumns=True,
             )
         # NOTE: no _v column in the bytes — the LWW version is assigned by
@@ -782,23 +833,10 @@ class SnapshotTable:
             # readable by a fresh handle (no ctor schema), and an evolved
             # column arriving in a delta widens the recorded schema without
             # dropping old columns
-            if m.get("schema"):
-                merged = T.StructType.fromJson(json.loads(m["schema"]))
-                by_name = {f.name: i for i, f in enumerate(merged.fields)}
-                fields = list(merged.fields)
-                for f in delta_schema.fields:
-                    if f.name not in by_name:
-                        by_name[f.name] = len(fields)
-                        fields.append(f)
-                    elif _wider_type(f.dataType, fields[by_name[f.name]].dataType):
-                        # TYPE WIDENING (Iceberg int->long / float->double
-                        # promotion): record the wider type; files written
-                        # at the narrower width upcast at read under the
-                        # explicit manifest schema
-                        fields[by_name[f.name]] = T.StructField(f.name, f.dataType, True)
-                m["schema"] = T.StructType(fields).json()
-            else:
-                m["schema"] = delta_schema.json()
+            # add new columns + widen non-key types (Iceberg int->long /
+            # float->double promotion) — files written at the narrower
+            # width upcast at read under the explicit manifest schema
+            m["schema"] = self._merge_schema_json(m, delta_schema)
             self._record_epoch(m, epoch_id, new_version)
             try:
                 self._commit_manifest(m)

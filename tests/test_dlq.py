@@ -137,3 +137,33 @@ def test_epoch_stats_carry_rejection_counts(spark, log_dir, tmp_path):
     # counts agree with the DLQ contents
     total_rows = len(_read_rej(str(tmp_path / "t")))
     assert sum(n_rej.values()) <= total_rows  # last epoch's counts vs all epochs
+
+
+def test_dlq_retention_is_per_stream(spark, log_dir, tmp_path):
+    """A restarted pipeline (new run_id, epochs restarting at 0) must not
+    have its fresh rejection dirs pruned by a previous run's higher epoch
+    numbers (r4 review)."""
+    import shutil
+
+    base = str(tmp_path / "t")
+    pipe = CdcPipeline(
+        spark, base, run_id="runA",
+        validate=F.col("turn_idx") < 50, dlq_retention_epochs=2, expire_every=1,
+    )
+    pipe.run_stream(log_dir, str(tmp_path / "ckA"), max_files_per_trigger=4)
+    rej_root = os.path.join(base, "_rejections")
+    a_dirs = [d for d in os.listdir(rej_root) if d.startswith("runA")]
+    assert a_dirs
+    # simulate a high-epoch history for runA, then a fresh runB from epoch 0
+    src = os.path.join(rej_root, a_dirs[0])
+    shutil.copytree(src, os.path.join(rej_root, a_dirs[0].replace(a_dirs[0].split("-")[-2], "000000000999")))
+    pipe2 = CdcPipeline(
+        spark, base, run_id="runB",
+        validate=F.col("turn_idx") < 50, dlq_retention_epochs=2, expire_every=1,
+    )
+    pipe2.run_stream(log_dir, str(tmp_path / "ckB"), max_files_per_trigger=4)
+    dirs = os.listdir(rej_root)
+    b_epochs = [int(d.split("-")[-2]) for d in dirs if d.startswith("runB-")]
+    # runB's low epoch numbers survive runA's 999 (per-stream comparison);
+    # a global newest would have pruned every runB dir (all < 999-2)
+    assert b_epochs and min(b_epochs) <= 1, f"runB dirs pruned by runA's epochs: {dirs}"

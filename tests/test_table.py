@@ -261,3 +261,44 @@ def test_read_changes_epoch_addressing(spark, tmp_path):
         t.read_changes(from_epoch="nope:9")
     with _pytest.raises(ValueError):
         t.read_changes()
+
+
+def test_key_type_alignment_prevents_wrong_bucketing(spark, tmp_path):
+    """murmur3 is type-sensitive (hash(7::int) != hash(7::bigint)): probes
+    and merge batches carrying differently-typed keys must be cast to the
+    recorded key type, or they bucket into the wrong dirs (r4 review)."""
+    from pyspark.sql import types as T
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=8)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)],
+        T.StructType([T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]),
+    )
+    t.overwrite(base, epoch_id="b0")
+    # long-typed probe against the int-keyed table
+    probe = spark.createDataFrame([(7,), (55,)], "k long")
+    got = sorted(tuple(r) for r in t.read_keys(probe).collect())
+    assert got == [(7, "v7"), (55, "v55")], got
+    # long-typed COW upsert: must REPLACE, not duplicate
+    t.merge(spark.createDataFrame([(7, "new7")], "k long, v string"), None, epoch_id="e1", n_updates=1)
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 100 and rows[7] == "new7"
+    # long-typed MOR upsert: bucket-local read must still resolve it
+    t.merge_mor(spark.createDataFrame([(8, "new8")], "k long, v string"), None, epoch_id="e2", n_updates=1)
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 100 and rows[8] == "new8"
+
+
+def test_cow_merge_never_narrows_recorded_schema(spark, tmp_path):
+    """A COW merge whose batch misses an evolved column (or touches only
+    empty buckets) must not erase that column from the recorded schema —
+    reads trust it (r4 review)."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    t.overwrite(spark.createDataFrame([(1, "a", "w1")], ["k", "v", "w"]), epoch_id="b0")
+    t.merge(spark.createDataFrame([(2, "b")], ["k", "v"]), None, epoch_id="e1", n_updates=1)
+    out = {r["k"]: (r["v"], r["w"]) for r in t.read().collect()}
+    assert out == {1: ("a", "w1"), 2: ("b", None)}
