@@ -787,7 +787,8 @@ class SnapshotTable:
         """Merge-on-read: append this epoch's upserts and delete markers as a
         versioned delta — NO read or rewrite of existing data. Readers
         resolve LWW by version (read()); ``compact()`` folds deltas into the
-        base. Identical external semantics to merge(); write cost ∝ batch.
+        base. Identical external semantics to merge() — including the
+        one-op-per-key-per-epoch precondition — write cost ∝ batch.
         This is the Iceberg MOR / equality-delete pattern."""
         import time as _time
 
