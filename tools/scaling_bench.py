@@ -206,6 +206,9 @@ efficiency ratio reads lower than r3's 0.802 because both levels got
 faster but the 4N level's run-to-run spread is ±20% on this host — the
 DEFAULT mode (MOR) and batch are the criterion-bearing rows, both green.
 
+Operator-level micro-benchmarks (bucket-local MOR read, COW persist A/B)
+live in BENCH/MICRO.md — session-internal comparisons, drift-insensitive.
+
 ## Measurement variance (read before judging the efficiency number)
 
 Raw per-run throughput (events/s) behind the best-of-2 table:
