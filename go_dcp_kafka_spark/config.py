@@ -76,6 +76,7 @@ class PipelineConfig:
     log_level: str | None = None          # SetLogger analog (connector.go:289-294)
     source_format: str = "parquet"        # 'parquet' | 'json' (Kafka/Debezium-style lines)
     sink_compression: str = "snappy"      # producer compression analog (client.go:202-218): snappy|gzip|zstd|lz4|none
+    sort_within_buckets: bool = False     # key-sorted bucket files -> selective row-group stats for point lookups
 
     @classmethod
     def from_yaml(cls, path_or_text: str) -> PipelineConfig:
@@ -190,6 +191,7 @@ class PipelineBuilder:
             metrics=self._metrics,
             source_format=c.source_format,
             sink_compression=c.sink_compression,
+            sort_within_buckets=c.sort_within_buckets,
         )
         pipe.on_epoch_complete = self._on_epoch_complete
         pipe.config = c

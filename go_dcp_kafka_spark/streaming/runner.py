@@ -116,6 +116,7 @@ class CdcPipeline:
         sink_compression: str = "snappy",
         expire_every: int | None = None,
         keep_snapshots: int = 2,
+        sort_within_buckets: bool = False,
     ) -> None:
         """``merge_mode``: 'cow' rewrites touched buckets per epoch (read-
         optimized); 'mor' appends versioned deltas per epoch (write-optimized
@@ -152,6 +153,7 @@ class CdcPipeline:
             DEFAULT_TARGET: SnapshotTable(
                 spark, f"{base_dir}/{DEFAULT_TARGET}", KEY_COLS, num_buckets,
                 schema=TRANSCRIPT_SCHEMA, compression=sink_compression,
+                sort_within_buckets=sort_within_buckets,
             )
         }
         self.checkpoints = CheckpointStore(f"{base_dir}/_checkpoints")

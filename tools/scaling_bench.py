@@ -229,6 +229,19 @@ every run:
   exchange) — there is no component whose cost is independent of
   parallelism except per-epoch commit bookkeeping.
 
+## 16M-event session (r4, disclosed in full)
+
+A later 16M-event run of the same tool measured batch 0.850 (structural
+0.844, 4N utilization 0.959), MOR 0.793, COW 0.646 — BUT its own pure-CPU
+calibration shows the host was throttled during that window: 1 -> 4
+concurrent processes ran at 1.02 s -> 1.28 s per process, a hardware
+ceiling of 1.02/1.28 = 0.80 for ANY job, Spark or not (the headline
+session's calibration was 1.35 -> 1.31, ceiling ~0.97). Normalized to what
+the host could express that hour, MOR scaled at 0.793/0.80 = 99% of the
+attainable ceiling and batch at 106% (drift). The committed table above is
+from the session whose host could actually express scaling; this section
+exists so no measured session is silently dropped.
+
 ## Why N={n_lo} (hardware calibration)
 
 This sandbox is a virtualized 32-vCPU host whose hypervisor throttles beyond
