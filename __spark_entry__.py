@@ -508,6 +508,21 @@ def q_doc_repetition(spark, sf_dir):
     return repetition_stats(_spread(_read(spark, sf_dir, "documents")))
 
 
+def q_doc_mixture_sample(spark, sf_dir):
+    """Deterministic mixture sampling: per-source keep rates via a salted
+    md5 hash of the doc id — pure projection, stable under corpus growth.
+    Oracle recomputes the identical hash decision in DuckDB."""
+    from go_dcp_kafka_spark.functions.corpus import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, rates={"src0": 0.0, "src1": 0.25, "src2": 0.5}, default_rate=0.75
+    )
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.min("doc_id").alias("first_doc")
+    )
+
+
 def q_doc_dedup_segments(spark, sf_dir):
     """Corpus-wide segment-level exact dedup (RefinedWeb-style boilerplate
     removal): 8-word segments, first global occurrence wins, docs
@@ -629,6 +644,25 @@ def q_emb_ann_lsh(spark, sf_dir):
     from go_dcp_kafka_spark.functions.similarity import ann_lsh_topk
 
     return ann_lsh_topk(_spread(_read(spark, sf_dir, "embeddings")), _qvec(spark, sf_dir), k=10)
+
+
+def q_emb_dup_clusters(spark, sf_dir):
+    """Embedding duplicate CLUSTERS: sign-LSH cosine near-dup pairs ->
+    connected components (min-label propagation) — the embedding-space twin
+    of doc_dup_clusters, composing two already-verified operators. Oracle:
+    the same pair SQL + a recursive-CTE transitive closure."""
+    from go_dcp_kafka_spark.functions.dedup_text import (
+        duplicate_clusters,
+        embedding_near_duplicates,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, threshold=0.2).select(
+        F.col("a_id"), F.col("b_id")
+    )
+    return duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id")
+    )
 
 
 def q_emb_ivf_topk(spark, sf_dir):
@@ -802,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assign": q_doc_split_assign,
         "doc_contamination": q_doc_contamination,
         "doc_repetition": q_doc_repetition,
+        "doc_mixture_sample": q_doc_mixture_sample,
         "doc_dedup_segments": q_doc_dedup_segments,
         "doc_pii_mask": q_doc_pii_mask,
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -810,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
+        "emb_dup_clusters": q_emb_dup_clusters,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_nprobe": q_emb_ivf_nprobe,
         "emb_ivf_mat": q_emb_ivf_mat,
@@ -1326,6 +1362,16 @@ def oracle_sql() -> dict[str, str]:
                    END AS top_gram_frac
             FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
         """,
+        "doc_mixture_sample": f"""
+            WITH h AS (
+                SELECT doc_id, source,
+                       {_H60.format(x="CONCAT('mix-v1', '#', CAST(doc_id AS VARCHAR))")} % 1000000 AS hh,
+                       CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.25
+                                   WHEN 'src2' THEN 0.5 ELSE 0.75 END AS rate
+                FROM documents)
+            SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc
+            FROM h WHERE hh < CAST(rate * 1000000 AS BIGINT) GROUP BY source
+        """,
         "doc_dedup_segments": f"""
             WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[^\\s]+') AS ws FROM documents),
             s0 AS (SELECT doc_id,
@@ -1430,6 +1476,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS out_w, CAST(16 AS INTEGER) AS out_h,
                    CAST(least(strlen(text), 256) AS BIGINT) AS n_bytes_out
             FROM documents WHERE doc_id % 3 = 0
+        """,
+        "emb_dup_clusters": f"""
+            WITH RECURSIVE b AS (SELECT vec_id, embedding, {_SIGN_BUCKET.format(v="embedding")} AS bucket
+                       FROM embeddings),
+            verified AS (
+                SELECT a.vec_id AS a_id, e.vec_id AS b_id
+                FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+                WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+                      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) >= 0.2),
+            edges AS (SELECT a_id AS u, b_id AS v FROM verified
+                      UNION SELECT b_id, a_id FROM verified),
+            reach(u, r) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+            SELECT u AS vec_id, min(r) AS cluster_id FROM reach GROUP BY u
         """,
         "emb_near_dup": f"""
             WITH b AS (SELECT vec_id, embedding, {_SIGN_BUCKET.format(v="embedding")} AS bucket

@@ -257,3 +257,31 @@ def dedup_segments(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic training-MIXTURE sampling: keep each doc with its
+    source's configured rate, decided by a salted hash of the doc id — the
+    standard way a pretraining pipeline reweights sources (e.g. downsample
+    crawl, keep all curated text).
+
+    Pure projection (zero shuffle, zero RNG): doc kept iff
+    ``md5_hash60(salt#doc_id) % 10^6 < rate * 10^6``. Deterministic under
+    corpus growth (a doc's fate never changes as others arrive — same
+    stability contract as split_assign) and re-weightable by changing only
+    ``salt``/``rates``. Rates are exact at the hash-measure level, not a
+    per-batch quota."""
+    from pyspark.sql import functions as F
+
+    h = md5_hash60(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
+    rate = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
+    return docs.filter(h < (rate * 1_000_000).cast("long"))
