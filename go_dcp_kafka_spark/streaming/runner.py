@@ -19,6 +19,10 @@ to the same final state.
 
 from __future__ import annotations
 
+import glob
+import os
+import re
+import shutil
 import time
 from collections.abc import Callable
 
@@ -53,7 +57,7 @@ from go_dcp_kafka_spark.sources.changelog import (
 )
 from go_dcp_kafka_spark.streaming.checkpoints import CheckpointStore
 from go_dcp_kafka_spark.streaming.lineage import LineageLog
-from go_dcp_kafka_spark.table.snapshot import SnapshotTable, _epoch_num
+from go_dcp_kafka_spark.table.snapshot import SnapshotTable, _epoch_num, _parquet_footer_rows
 
 DEFAULT_TARGET = "transcripts"
 
@@ -75,12 +79,9 @@ REJECTION_SCHEMA = T.StructType(
 def _dlq_dir_name(epoch_key: str, stage: str) -> str:
     """Deterministic per-(epoch, stage) dir name; numeric epochs embed the
     zero-padded batch id so retention can prune by age."""
-    import re
-
     stream, n = _epoch_num(epoch_key)
-    if stream is not None:
-        return f"{re.sub(r'[^A-Za-z0-9_.-]', '_', stream)}-{n:012d}-{stage}"
-    return re.sub(r"[^A-Za-z0-9_.-]", "_", str(epoch_key)) + "-" + stage
+    base = f"{stream}-{n:012d}" if stream is not None else str(epoch_key)
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", base) + "-" + stage
 
 
 class CdcPipeline:
@@ -213,7 +214,7 @@ class CdcPipeline:
         t0 = time.time()
         spark = batch_df.sparkSession
         epoch_key = f"{self.run_id}:{epoch_id}"
-        self._epoch_rejects: dict[str, int] = {}
+        self._epoch_rejects = {}
         if self.cache_batch:
             batch_df = batch_df.persist()
         try:
@@ -224,14 +225,12 @@ class CdcPipeline:
                 corrupt = batch_df.filter(F.col(CORRUPT_COL).isNotNull())
                 if not corrupt.isEmpty():
                     self._dlq_write(
-                        corrupt.select(
-                            F.lit(DEFAULT_TARGET).alias("target"),
-                            F.col("conv_id"),
-                            F.col("turn_idx"),
-                            F.lit("malformed change event").alias("error"),
-                            F.lit(REJECT_DECODE).alias("error_class"),
-                            F.col(CORRUPT_COL).alias("value"),  # the raw wire line
-                            F.lit(epoch_key).alias("commit_epoch_key"),
+                        self._rejection_rows(
+                            corrupt,
+                            F.lit("malformed change event"),
+                            F.lit(REJECT_DECODE),
+                            F.col(CORRUPT_COL),  # the raw wire line
+                            epoch_key,
                         ),
                         epoch_key,
                         "decode",
@@ -369,14 +368,12 @@ class CdcPipeline:
                         F.lit(f"message too large (> {self.max_message_bytes} bytes)"),
                     ).otherwise(F.lit("validation failed"))
                     self._dlq_write(
-                        bad.select(
-                            F.lit(DEFAULT_TARGET).alias("target"),
-                            F.col("conv_id"),
-                            F.col("turn_idx"),
-                            err_msg.alias("error"),
-                            F.col("_err_class").alias("error_class"),
-                            F.to_json(F.struct(*[F.col(c) for c in PAYLOAD_COLS])).alias("value"),
-                            F.lit(epoch_key).alias("commit_epoch_key"),
+                        self._rejection_rows(
+                            bad,
+                            err_msg,
+                            F.col("_err_class"),
+                            F.to_json(F.struct(*[F.col(c) for c in PAYLOAD_COLS])),
+                            epoch_key,
                         ),
                         epoch_key,
                         "guard",
@@ -501,6 +498,19 @@ class CdcPipeline:
                     winners.unpersist()
         return total
 
+    def _rejection_rows(self, df: DataFrame, error, error_class, value, epoch_key: str) -> DataFrame:
+        """Project rows into the REJECTION_SCHEMA shape (shared by the
+        decode / guard / routing dead-letter paths)."""
+        return df.select(
+            F.lit(DEFAULT_TARGET).alias("target"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            error.alias("error"),
+            error_class.alias("error_class"),
+            value.alias("value"),
+            F.lit(str(epoch_key)).alias("commit_epoch_key"),
+        )
+
     def _dlq_write(self, rows: DataFrame, epoch_key: str, stage: str) -> None:
         """EXACTLY-ONCE dead-lettering (r3 verdict item 2): each (epoch,
         stage) writes its own keyed dir with overwrite semantics. A crash
@@ -509,10 +519,6 @@ class CdcPipeline:
         rejection rows. (The reference's Kafka DLQ is at-least-once —
         rejection_log_sink_response_handler.go:36-76 — this engine's pitch
         is exactly-once state, DLQ included.)"""
-        import os
-
-        from go_dcp_kafka_spark.table.snapshot import _parquet_footer_rows
-
         out = os.path.join(self.rejections_dir, _dlq_dir_name(epoch_key, stage))
         rows.write.mode("overwrite").parquet(out)
         # rejection-count gauge (the reference counts rejections per class,
@@ -523,8 +529,6 @@ class CdcPipeline:
     def read_rejections(self) -> DataFrame:
         """The dead-letter table across all epochs and stages."""
         import os
-
-        import glob
 
         root = self.rejections_dir
         # recursive probe: finds rows at ANY depth, including flat files an
@@ -540,10 +544,6 @@ class CdcPipeline:
         drop per-epoch dirs more than ``dlq_retention_epochs`` behind the
         newest rejection epoch — the same unbounded-small-files disease
         ``expire_every`` cures for snapshot manifests."""
-        import os
-        import re
-        import shutil
-
         if not self.dlq_retention_epochs or not os.path.isdir(self.rejections_dir):
             return
         # group by STREAM prefix before comparing: epoch numbering restarts
@@ -564,14 +564,12 @@ class CdcPipeline:
         if rows.isEmpty():
             return
         self._dlq_write(
-            rows.select(
-                F.lit(DEFAULT_TARGET).alias("target"),
-                F.col("conv_id"),
-                F.col("turn_idx"),
-                F.lit(error).alias("error"),
-                F.lit(error_class).alias("error_class"),
-                F.to_json(F.struct(*[F.col(c) for c in PAYLOAD_COLS])).alias("value"),
-                F.lit(str(epoch_key)).alias("commit_epoch_key"),
+            self._rejection_rows(
+                rows,
+                F.lit(error),
+                F.lit(error_class),
+                F.to_json(F.struct(*[F.col(c) for c in PAYLOAD_COLS])),
+                epoch_key,
             ),
             str(epoch_key),
             stage,
@@ -620,14 +618,12 @@ class CdcPipeline:
             # extra scan); an empty overwrite writes only _SUCCESS, which
             # every reader ignores.
             self._dlq_write(
-                corrupt.select(
-                    F.lit(DEFAULT_TARGET).alias("target"),
-                    F.col("conv_id"),
-                    F.col("turn_idx"),
-                    F.lit("malformed change event").alias("error"),
-                    F.lit(REJECT_DECODE).alias("error_class"),
-                    F.col(CORRUPT_COL).alias("value"),
-                    F.lit(str(epoch_id)).alias("commit_epoch_key"),
+                self._rejection_rows(
+                    corrupt,
+                    F.lit("malformed change event"),
+                    F.lit(REJECT_DECODE),
+                    F.col(CORRUPT_COL),
+                    str(epoch_id),
                 ),
                 str(epoch_id),
                 "decode",
