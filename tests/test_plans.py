@@ -261,3 +261,64 @@ def test_read_keys_pushes_key_predicate_with_sorted_buckets(spark, tmp_path):
     pushed = scan_line.split("PushedFilters")[1][:80]
     assert "In(k, [" in pushed and "7" in pushed and "250" in pushed, scan_line
     assert sorted(tuple(r) for r in df.collect()) == [(7, "v7"), (250, "v250")]
+
+
+def test_read_changes_is_manifest_pruned(spark, tmp_path):
+    """read_changes between adjacent snapshots must read only the buckets
+    whose manifest refs differ — a one-bucket COW merge means ~1 base file
+    per side enters the diff join, not the full table on both sides
+    (r4 verdict item 1: the CDC-consumer poll must be O(changed))."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=8)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(400)], ["k", "v"]), epoch_id="b0")
+    v1 = t.version()
+    t.merge(spark.createDataFrame([(7, "new7")], ["k", "v"]), None, epoch_id="e1", n_updates=1)
+    v2 = t.version()
+    df = t.read_changes(v1, v2)
+    got = [(r["k"], r["v"], r["_change"]) for r in df.collect()]
+    assert got == [(7, "new7", "update")]
+    n_files = _walk_metric_sum(
+        df._jdf.queryExecution().executedPlan(), "numFiles", "Scan"
+    )
+    # only key 7's bucket read on each side (1 file/bucket from overwrite;
+    # an unpruned diff would scan 8 + 8)
+    assert 0 < n_files <= 3 < 16, f"read_changes scanned {n_files} files (expected only the changed bucket per side)"
+
+
+def test_read_changes_pruned_with_mor_deltas(spark, tmp_path):
+    """Delta signatures participate in the manifest diff: a bucket touched
+    by a NEW delta counts as changed; identical outstanding deltas on both
+    sides do not."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=8)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(400)], ["k", "v"]), epoch_id="b0")
+    t.merge_mor(spark.createDataFrame([(7, "d7")], ["k", "v"]), None, epoch_id="d1", n_updates=1)
+    v1 = t.version()
+    t.merge_mor(spark.createDataFrame([(9, "d9")], ["k", "v"]),
+                spark.createDataFrame([(123,)], ["k"]), epoch_id="d2", n_updates=2)
+    v2 = t.version()
+    df = t.read_changes(v1, v2)
+    got = {r["k"]: (r["v"], r["_change"]) for r in df.collect()}
+    # d1's bucket (key 7) is outstanding on BOTH sides -> identical
+    # signature -> pruned; only d2's buckets (9 update, 123 delete) differ
+    assert got == {9: ("d9", "update"), 123: (None, "delete")}
+    changed = t._changed_buckets(t._manifest_at(v1), t._manifest_at(v2))
+    assert changed is not None and len(changed) <= 2
+
+
+def test_read_changes_falls_back_across_rebucket(spark, tmp_path):
+    """Rebucketing between the snapshots changes the key hash — pruning is
+    impossible and read_changes must fall back to the full diff, correctly."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["k", "v"]), epoch_id="b0")
+    v1 = t.version()
+    t.rebucket(8)
+    t.merge(spark.createDataFrame([(3, "new3")], ["k", "v"]), None, epoch_id="e1", n_updates=1)
+    v2 = t.version()
+    assert t._changed_buckets(t._manifest_at(v1), t._manifest_at(v2)) is None
+    got = [(r["k"], r["v"], r["_change"]) for r in t.read_changes(v1, v2).collect()]
+    assert got == [(3, "new3", "update")]
