@@ -215,12 +215,15 @@ def dedup_segments(
     from its surviving segments — boilerplate repeated across documents
     (headers, footers, navigation) disappears from all but the first doc.
 
-    Scale shape: one shuffle keyed by the segment (the first-occurrence
-    window — same partitioning behavior as exact doc dedup, segment
-    frequency is Zipf but the window state per key is O(1)) + one doc-keyed
-    shuffle to reassemble (collect_list partial-aggregates map-side;
-    ordering is a per-row array_sort bounded by doc length). No collects,
-    no per-row Python.
+    Scale shape: one MAP-SIDE-COMBINABLE shuffle keyed by the segment —
+    first occurrence is ``groupBy(seg).agg(min(struct(doc_id, pos)))``, so
+    a Zipf-hot boilerplate segment ("subscribe to our newsletter" repeated
+    billions of times) is reduced to one candidate per input partition
+    BEFORE the exchange; a ``row_number`` window here would instead route
+    every occurrence of the hot segment into a single task (r4 verdict
+    item: skew-unsafe). Plus one doc-keyed shuffle to reassemble
+    (collect_list partial-aggregates map-side; ordering is a per-row
+    array_sort bounded by doc length). No collects, no per-row Python.
 
     Returns (doc_id, n_segments, n_kept, clean_text) — docs whose every
     segment was seen earlier come back with clean_text = ''.
@@ -236,8 +239,14 @@ def dedup_segments(
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = docs.select(F.col(id_col), F.posexplode(segs).alias("pos", "seg"))
-    w = Window.partitionBy("seg").orderBy(id_col, "pos")
-    kept = exploded.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # struct comparison is lexicographic by field order, so min(struct(id,
+    # pos)) IS "first by (doc_id, pos)" — identical semantics to the former
+    # row_number window, but with partial aggregation on the hot keys
+    kept = (
+        exploded.groupBy("seg")
+        .agg(F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("w"))
+        .select(F.col("w.i").alias(id_col), F.col("w.p").alias("pos"), "seg")
+    )
     rebuilt = kept.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_kept"),
         F.array_join(

@@ -322,3 +322,19 @@ def test_read_changes_falls_back_across_rebucket(spark, tmp_path):
     assert t._changed_buckets(t._manifest_at(v1), t._manifest_at(v2)) is None
     got = [(r["k"], r["v"], r["_change"]) for r in t.read_changes(v1, v2).collect()]
     assert got == [(3, "new3", "update")]
+
+
+def test_dedup_segments_first_occurrence_is_partial_aggregate(spark):
+    """First-occurrence selection must be a map-side-combinable aggregate on
+    the segment key, NOT a row_number window (which routes every occurrence
+    of a Zipf-hot boilerplate segment into one task — r4 verdict item 2)."""
+    from go_dcp_kafka_spark.functions.corpus import dedup_segments
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "common header words repeated a lot here plus unique tail %d" % i) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(dedup_segments(docs))
+    assert "Window" not in plan, "dedup_segments regressed to a window"
+    # partial (map-side) aggregate keyed by seg, before the exchange
+    assert "partial_min" in plan or "HashAggregate(keys=[seg" in plan, plan[:2000]
