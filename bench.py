@@ -36,6 +36,35 @@ from go_dcp_kafka_spark.sources.changelog import read_change_log  # noqa: E402
 from go_dcp_kafka_spark.streaming.runner import CdcPipeline  # noqa: E402
 
 
+def _burn(_):
+    x = 0
+    for i in range(30_000_000):
+        x += i
+    return x
+
+
+def calibrate() -> dict:
+    """Pure-CPU host calibration (no Spark), run IMMEDIATELY before the
+    timed section: wall seconds of an identical integer-sum process at 1 and
+    4 concurrent processes. This hypervisor throttles per-core speed by
+    ~±25% minute-to-minute and beyond a few concurrently busy cores (see
+    BENCH/BASELINE.md) — embedding the calibration makes a throttled window
+    SELF-EVIDENT in the artifact instead of requiring cross-round forensics
+    (r4 verdict item 3: two rounds of bench trend were weather, not code).
+    Compare `sec_1proc` across BENCH_r*.json: same code + same calibration
+    => comparable numbers; a 2x calibration swing explains a 2x wall swing."""
+    import multiprocessing as mp
+
+    out = {}
+    for n in (1, 4):
+        t0 = time.time()
+        with mp.get_context("spawn").Pool(n) as pool:
+            pool.map(_burn, range(n))
+        out[f"sec_{n}proc"] = round(time.time() - t0, 2)
+    out["throttle_ratio_4v1"] = round(out["sec_4proc"] / out["sec_1proc"], 3)
+    return out
+
+
 def build_log(n_events_target: int, n_files: int = 64) -> tuple[str, int]:
     """Deterministic log sized to ~n_events_target (events scale ~6.2x convs).
 
@@ -116,6 +145,8 @@ def main() -> None:
             out = sp.run(["ps", "-o", "cputimes=", "-C", "java"], capture_output=True, text=True).stdout
             return sum(float(x) for x in out.split())
 
+        cal = calibrate()  # host-weather snapshot, right before the timed section
+
         n_buckets = max(cpus, 8)  # == shuffle partitions: bucket-aligned write
         batch_secs, batch_cpus = [], []
         for i in range(3):
@@ -182,9 +213,11 @@ def main() -> None:
             "unit": "sec",
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             "queries": queries_sec,
+            "calibration": cal,
             "cdc": {
                 "n_events": n_events,
                 "final_rows": n_rows,
+                "batch_replay_secs_raw": [round(s, 3) for s in batch_secs],
                 "batch_replay_sec": round(batch_sec, 3),
                 "batch_events_per_sec": round(n_events / batch_sec),
                 "batch_jvm_cpu_sec": round(batch_cpu, 1),
