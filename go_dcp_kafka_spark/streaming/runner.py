@@ -222,19 +222,22 @@ class CdcPipeline:
             # the raw text in CORRUPT_COL; they go to _rejections with
             # error_class='decode' and the epoch still commits -------------
             if CORRUPT_COL in batch_df.columns:
-                corrupt = batch_df.filter(F.col(CORRUPT_COL).isNotNull())
-                if not corrupt.isEmpty():
-                    self._dlq_write(
-                        self._rejection_rows(
-                            corrupt,
-                            F.lit("malformed change event"),
-                            F.lit(REJECT_DECODE),
-                            F.col(CORRUPT_COL),  # the raw wire line
-                            epoch_key,
-                        ),
+                # no isEmpty() pre-probe (r4 verdict item 4): the probe was a
+                # full pass over the batch whenever no line was corrupt — the
+                # common case. One unconditional write costs the same single
+                # pass; _dlq_write removes the dir driver-side when the
+                # footers say zero rows, so empty epochs leave no DLQ dirs
+                self._dlq_write(
+                    self._rejection_rows(
+                        batch_df.filter(F.col(CORRUPT_COL).isNotNull()),
+                        F.lit("malformed change event"),
+                        F.lit(REJECT_DECODE),
+                        F.col(CORRUPT_COL),  # the raw wire line
                         epoch_key,
-                        "decode",
-                    )
+                    ),
+                    epoch_key,
+                    "decode",
+                )
                 batch_df = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
             # ---- committed HWM state (driver-side map, <=1024 partitions) -
             hwm0 = self.checkpoints.hwm_map()
@@ -361,23 +364,24 @@ class CdcPipeline:
                 ).otherwise(guard)
             if self.validate is not None or self.max_message_bytes is not None:
                 tagged = mapped.withColumn("_err_class", guard)
-                bad = tagged.filter(F.col("_err_class").isNotNull())
-                if not bad.isEmpty():
-                    err_msg = F.when(
-                        F.col("_err_class") == REJECT_OVERSIZE,
-                        F.lit(f"message too large (> {self.max_message_bytes} bytes)"),
-                    ).otherwise(F.lit("validation failed"))
-                    self._dlq_write(
-                        self._rejection_rows(
-                            bad,
-                            err_msg,
-                            F.col("_err_class"),
-                            F.to_json(F.struct(*[F.col(c) for c in PAYLOAD_COLS])),
-                            epoch_key,
-                        ),
+                # unconditional write (no isEmpty probe — r4 verdict item 4):
+                # a guarded epoch with zero rejections pays ONE pass (the
+                # write, whose empty dir _dlq_write removes), not probe+write
+                err_msg = F.when(
+                    F.col("_err_class") == REJECT_OVERSIZE,
+                    F.lit(f"message too large (> {self.max_message_bytes} bytes)"),
+                ).otherwise(F.lit("validation failed"))
+                self._dlq_write(
+                    self._rejection_rows(
+                        tagged.filter(F.col("_err_class").isNotNull()),
+                        err_msg,
+                        F.col("_err_class"),
+                        F.to_json(F.struct(*[F.col(c) for c in PAYLOAD_COLS])),
                         epoch_key,
-                        "guard",
-                    )
+                    ),
+                    epoch_key,
+                    "guard",
+                )
                 mapped = tagged.filter(F.col("_err_class").isNull()).drop("_err_class")
 
             # ---- route (P4) + LWW + MERGE (S3) ----------------------------
@@ -523,8 +527,15 @@ class CdcPipeline:
         rows.write.mode("overwrite").parquet(out)
         # rejection-count gauge (the reference counts rejections per class,
         # metric/collector.go) from the written files' FOOTERS — driver-side
-        # metadata, zero extra Spark jobs
-        self._epoch_rejects[stage] = self._epoch_rejects.get(stage, 0) + _parquet_footer_rows(out)
+        # metadata, zero extra Spark jobs. Zero rows => remove the dir: the
+        # callers write UNCONDITIONALLY (no isEmpty probe job), and this
+        # keeps the invariant that DLQ dirs exist only for epochs that
+        # actually rejected something (retention + read_rejections unchanged)
+        n = _parquet_footer_rows(out)
+        if n == 0:
+            shutil.rmtree(out, ignore_errors=True)
+            return
+        self._epoch_rejects[stage] = self._epoch_rejects.get(stage, 0) + n
 
     def read_rejections(self) -> DataFrame:
         """The dead-letter table across all epochs and stages."""
@@ -561,8 +572,7 @@ class CdcPipeline:
                     shutil.rmtree(os.path.join(self.rejections_dir, d), ignore_errors=True)
 
     def _reject(self, rows: DataFrame, error: str, epoch_key, error_class: str = REJECT_VALIDATION, stage: str = "route") -> None:
-        if rows.isEmpty():
-            return
+        # unconditional: _dlq_write prunes the dir if nothing was rejected
         self._dlq_write(
             self._rejection_rows(
                 rows,
@@ -615,8 +625,8 @@ class CdcPipeline:
             # as apply_batch: a re-run replay rewrites, never duplicates).
             # No isEmpty() pre-probe: on the raw JSON wire a corrupt-
             # column-only query is disallowed (and the probe would be an
-            # extra scan); an empty overwrite writes only _SUCCESS, which
-            # every reader ignores.
+            # extra scan); _dlq_write removes the dir when nothing was
+            # rejected.
             self._dlq_write(
                 self._rejection_rows(
                     corrupt,
