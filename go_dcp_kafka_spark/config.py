@@ -61,6 +61,7 @@ class PipelineConfig:
     merge_mode: str | None = None         # 'cow' | 'mor' | None = auto (streaming -> mor)
     compact_every: int | None = None      # None = 64 under MOR, 0 = manual only
     compact_delta_bytes: int | None = None  # ALSO compact when outstanding delta bytes reach this
+    compact_bucket_bytes: int | None = None  # per-bucket floor: rewrite only buckets with this many outstanding delta bytes
     dlq_retention_epochs: int | None = None  # prune _rejections dirs N epochs behind newest
     expire_every: int | None = None       # run snapshot expiry each N epochs (None = manual)
     keep_snapshots: int = 2               # snapshots retained by expiry (time-travel window)
@@ -184,6 +185,7 @@ class PipelineBuilder:
             merge_mode=c.merge_mode,
             compact_every=c.compact_every,
             compact_delta_bytes=c.compact_delta_bytes,
+            compact_bucket_bytes=c.compact_bucket_bytes,
             dlq_retention_epochs=c.dlq_retention_epochs,
             expire_every=c.expire_every,
             keep_snapshots=c.keep_snapshots,

@@ -110,6 +110,7 @@ class CdcPipeline:
         merge_mode: str | None = None,
         compact_every: int | None = None,
         compact_delta_bytes: int | None = None,
+        compact_bucket_bytes: int | None = None,
         dlq_retention_epochs: int | None = None,
         max_message_bytes: int | None = None,
         metrics=None,
@@ -142,6 +143,12 @@ class CdcPipeline:
         proxy, read amplification is actually ∝ delta BYTES, and epoch
         sizes vary. Either trigger firing compacts and resets both.
 
+        ``compact_bucket_bytes``: per-BUCKET floor for triggered
+        compactions — rewrite only buckets whose outstanding delta bytes
+        reach it (SnapshotTable.compact(min_bucket_bytes=...)). On a table
+        where deltas concentrate in a few hot buckets, the rewrite covers
+        the hot slice; cold buckets' deltas survive until they accumulate.
+
         ``dlq_retention_epochs``: prune ``_rejections`` epoch dirs more than
         N epochs behind the newest rejection epoch (checked on the
         ``expire_every`` cadence). None keeps all rejection rows — dirs
@@ -171,6 +178,7 @@ class CdcPipeline:
             compact_every = 64  # bound the read-side delta list by default
         self.compact_every = compact_every or None
         self.compact_delta_bytes = compact_delta_bytes
+        self.compact_bucket_bytes = compact_bucket_bytes
         self.dlq_retention_epochs = dlq_retention_epochs
         self.expire_every = expire_every
         self.keep_snapshots = keep_snapshots
@@ -494,7 +502,7 @@ class CdcPipeline:
                         # size-based trigger: manifest metadata only, no IO
                         due = table.delta_stats()["bytes"] >= self.compact_delta_bytes
                     if due:
-                        table.compact()
+                        table.compact(min_bucket_bytes=self.compact_bucket_bytes)
                         n_since = 0
                     self._epochs_since_compact[name] = n_since
             finally:

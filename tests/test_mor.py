@@ -211,3 +211,62 @@ def test_legacy_string_delta_entries_resolve_in_append_order(spark, tmp_path):
         json.dump(m, f)
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got[3] == "n3b" and got[4] == "n4" and len(got) == 20
+
+
+def test_partial_compaction_per_bucket_threshold(spark, tmp_path):
+    """compact(min_bucket_bytes=...) rewrites ONLY buckets whose outstanding
+    delta bytes reach the floor; cold buckets' deltas survive (excluded
+    per-entry, dirs immutable), reads stay exact, delta_stats drops, and a
+    later full compact clears the rest (r4 verdict item 5)."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable, _bucket_expr
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=8)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(400)], ["k", "v"]), epoch_id="b0")
+
+    # find keys for two distinct buckets: a HOT one (many delta rows) and a
+    # COLD one (one row)
+    from pyspark.sql import functions as F
+    probe = spark.createDataFrame([(i,) for i in range(400)], ["k"]).withColumn(
+        "_b", _bucket_expr(("k",), 8)
+    )
+    by_b = {r["_b"]: r["k"] for r in probe.collect()}
+    hot_b, cold_b = sorted(by_b)[:2]
+    hot_keys = [r["k"] for r in probe.filter(F.col("_b") == hot_b).collect()]
+    cold_key = by_b[cold_b]
+
+    t.merge_mor(
+        spark.createDataFrame([(k, f"hot{k}" * 50) for k in hot_keys], ["k", "v"]),
+        None, epoch_id="d1", n_updates=len(hot_keys),
+    )
+    t.merge_mor(
+        spark.createDataFrame([(cold_key, "cold")], ["k", "v"]),
+        None, epoch_id="d2", n_updates=1,
+    )
+    before = t.delta_stats()
+    assert before["n_deltas"] == 2 and before["bytes"] > 0
+
+    # threshold between the cold bucket's bytes and the hot bucket's
+    res = t.compact(min_bucket_bytes=before["bytes"] // 2)
+    assert res["compacted"] and res["touched_buckets"] == [hot_b]
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    for k in hot_keys:
+        assert got[k] == f"hot{k}" * 50
+    assert got[cold_key] == "cold" and len(got) == 400
+
+    after = t.delta_stats()
+    assert 0 < after["bytes"] < before["bytes"]
+    # surviving entries exclude the compacted hot bucket
+    m = t._load_manifest()
+    assert any(e.get("exclude") for e in m["deltas"] if isinstance(e, dict)) or all(
+        hot_b not in bd for _, bd in t._delta_entries(m)
+    )
+    # old snapshot still sees the un-excluded view (time travel intact)
+    v_pre = res["version"] - 1
+    old = {r["k"]: r["v"] for r in t.read(version=v_pre).collect()}
+    assert old == got
+
+    # below-threshold call is a no-op; full compact clears the remainder
+    assert t.compact(min_bucket_bytes=10**12) == {"compacted": False}
+    res2 = t.compact()
+    assert res2["compacted"] and t.delta_stats()["n_deltas"] == 0
+    assert {r["k"]: r["v"] for r in t.read().collect()} == got
