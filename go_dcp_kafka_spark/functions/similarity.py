@@ -280,6 +280,82 @@ def materialize_ivf(
     return path
 
 
+def update_ivf(
+    spark,
+    path: str,
+    changes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    change_col: str = "_change",
+) -> dict:
+    """Incremental IVF index maintenance from a CDC changes feed — the
+    changelog→ANN connection: a training pipeline's index must TRACK the
+    corpus, and rebuilding K cells because one epoch touched three of them
+    is the index-side version of the full-table-poll disease
+    ``read_changes`` cures (reference analog: consumers read only the
+    appended log segment, /root/reference/kafka/client.go:220-233).
+
+    ``changes``: (id_col, vec_col, change_col ∈ insert/update/delete) —
+    exactly what ``SnapshotTable.read_changes`` returns for an embeddings
+    table keyed by ``id_col`` (deletes carry a null vector).
+
+    Scale shape: new/updated vectors are cell-assigned with the PERSISTED
+    centroids via the shuffle-free broadcast-argmax projection; old cells of
+    updated/deleted ids come from a column-pruned (id, cell) scan filtered
+    by the broadcast changed-id set; only the affected cells' partitions are
+    then rewritten (dynamic partition overwrite) from (surviving rows ∪ new
+    assignments) — cost ∝ changed cells, not the corpus. Cells emptied
+    entirely are removed driver-side. Result ≡ a full ``materialize_ivf``
+    rebuild over the updated corpus (same centroids ⇒ same assignment ⇒
+    recall-identical searches)."""
+    import os
+    import shutil
+
+    corpus_dir = os.path.join(path, "corpus")
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    ch = changes.select(id_col, vec_col, F.col(change_col).alias("_change"))
+    changed_ids = ch.select(id_col).distinct()
+
+    assigned_new = with_ivf_cell(
+        ch.filter(F.col("_change") != "delete").select(id_col, vec_col), cents, vec_col
+    ).select(id_col, vec_col, F.col("cell").cast("long").alias("cell"))
+
+    corpus = spark.read.parquet(corpus_dir)
+    old_cells = {
+        r["cell"]
+        for r in corpus.select(id_col, "cell")
+        .join(F.broadcast(changed_ids), id_col, "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    new_cells = {r["cell"] for r in assigned_new.select("cell").distinct().collect()}
+    affected = sorted(int(c) for c in old_cells | new_cells)
+    if not affected:
+        return {"affected_cells": [], "emptied_cells": []}
+
+    remaining = (
+        corpus.filter(F.col("cell").isin(affected))
+        .join(F.broadcast(changed_ids), id_col, "left_anti")
+        .select(id_col, vec_col, F.col("cell").cast("long").alias("cell"))
+    )
+    # localCheckpoint: (a) legal to overwrite the dirs we just read, (b) the
+    # affected slice is CDC-poll sized, so materializing it is cheap
+    out = remaining.unionByName(assigned_new).localCheckpoint(eager=True)
+    present = {r["cell"] for r in out.select("cell").distinct().collect()}
+    emptied = [c for c in affected if c not in present]
+    (
+        out.repartition(F.col("cell"))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .mode("overwrite")
+        .parquet(corpus_dir)
+    )
+    for c in emptied:
+        shutil.rmtree(os.path.join(corpus_dir, f"cell={c}"), ignore_errors=True)
+    return {"affected_cells": affected, "emptied_cells": emptied}
+
+
 def ivf_probe_cells(centroids, query_vec: list[float], nprobe: int, c_id: str = "cid", c_vec: str = "ce") -> list[int]:
     """The query's ``nprobe`` nearest cells — a driver round-trip over the
     K-row trained model, not over the corpus."""
