@@ -47,6 +47,7 @@ import contextlib
 import fcntl
 import json
 import os
+import re
 import shutil
 import threading
 import uuid
@@ -511,9 +512,32 @@ class SnapshotTable:
                 out.append((ver, bd))
         return out
 
+    @staticmethod
+    def _dir_era(d: str) -> int:
+        """Write-era version parsed from a data dir path (every data dir is
+        named ``data/v{version:06d}[-delta]-{uuid}``)."""
+        mm = re.search(r"data/v(\d{6})", d)
+        return int(mm.group(1)) if mm else 0
+
+    @staticmethod
+    def _physical_name(renames: list[dict], current: str, era: int) -> str:
+        """The name ``current`` was physically stored under in files written
+        at ``era`` — reverse-applies every rename committed AFTER that era,
+        newest first (chains compose: a->b at v5, b->c at v9 means era-3
+        files store c's data under a)."""
+        phys = current
+        for r in sorted(renames, key=lambda r: -int(r["v"])):
+            if int(r["v"]) > era and phys == r["to"]:
+                phys = r["from"]
+        return phys
+
     def _read_dirs(self, m: dict, dirs: list[str]) -> DataFrame:
         """Read base bucket dirs with the manifest schema (backfills evolved
-        columns with nulls, skips the per-file footer-merge pass)."""
+        columns with nulls, skips the per-file footer-merge pass). With
+        committed ``rename_column`` ops, dirs written before a rename are
+        read under their era's physical names and aliased to current —
+        grouped by era mapping, so the common all-current case stays ONE
+        scan."""
         if not dirs:
             schema = (
                 T.StructType.fromJson(json.loads(m["schema"])) if m.get("schema") else self._default_schema
@@ -521,10 +545,44 @@ class SnapshotTable:
             if schema is None:
                 raise ValueError("empty table with no schema recorded")
             return self.spark.createDataFrame([], schema)
-        if m.get("schema"):
-            schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if not m.get("schema"):
+            return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        renames = m.get("renames") or []
+        if not renames:
             return self.spark.read.schema(schema).parquet(*dirs)
-        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        groups: dict[tuple[tuple[str, str], ...], list[str]] = {}
+        for d in dirs:
+            era = self._dir_era(d)
+            raw = [(f.name, self._physical_name(renames, f.name, era)) for f in schema.fields]
+            # collision: a fresh column re-ADDED under a renamed-away name
+            # maps to the same era-physical name as the renamed column. The
+            # rename-derived mapping owns that era's data; the fresh column
+            # did not exist then and reads as null via an absent placeholder
+            claimed: dict[str, int] = {}
+            for _, p in raw:
+                claimed[p] = claimed.get(p, 0) + 1
+            mapping = tuple(
+                (c, f"__absent__{c}" if claimed[p] > 1 and c == p else p) for c, p in raw
+            )
+            groups.setdefault(mapping, []).append(d)
+        parts = []
+        for mapping, ds in groups.items():
+            phys = T.StructType(
+                [
+                    T.StructField(p, f.dataType, f.nullable)
+                    for (_, p), f in zip(mapping, schema.fields)
+                ]
+            )
+            parts.append(
+                self.spark.read.schema(phys)
+                .parquet(*ds)
+                .select(*[F.col(p).alias(c) for c, p in mapping])
+            )
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
 
     def _resolve_lww(
         self, m: dict, deltas_e: list[tuple[int | None, dict[int, str]]], buckets: list[int]
@@ -692,14 +750,8 @@ class SnapshotTable:
         dirs = [os.path.join(self.path, d) for d in dirs]
         if not dirs:
             return None
-        # manifest schema is the superset of every written file's schema:
-        # reading with it backfills evolved columns with nulls and skips the
-        # footer-merging pass (one footer per file) that mergeSchema costs
-        if m.get("schema"):
-            schema = T.StructType.fromJson(json.loads(m["schema"]))
-            df = self.spark.read.schema(schema).parquet(*dirs)
-        else:
-            df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        # manifest-schema (+ rename-era-aware) read via _read_dirs
+        df = self._read_dirs(m, dirs)
         # a version dir holds several buckets; prune to exactly the touched ones
         return df.withColumn("_b", _bucket_expr(self.key_cols, m["num_buckets"])).filter(
             F.col("_b").isin(buckets)
@@ -1094,6 +1146,13 @@ class SnapshotTable:
             bl = sorted(changed)
             old = self._resolve_lww(old_m, self._delta_entries(old_m), bl)
             new = self._resolve_lww(new_m, self._delta_entries(new_m), bl)
+        # renames committed inside the window: align the old side's column
+        # NAMES first, so a renamed column diffs value-vs-value instead of
+        # value-vs-null (a rename-only commit changes no dirs and reports
+        # zero changes via the manifest pruning above)
+        for r in sorted(new_m.get("renames") or [], key=lambda r: int(r["v"])):
+            if int(r["v"]) > from_version and r["from"] in old.columns and r["to"] not in old.columns:
+                old = old.withColumnRenamed(r["from"], r["to"])
         payload = [c for c in new.columns if c not in self.key_cols]
         new_types = dict(new.dtypes)
         old_types = dict(old.dtypes)
@@ -1121,6 +1180,49 @@ class SnapshotTable:
                 "_change",
             )
         )
+
+    @_locked
+    def rename_column(self, old: str, new: str) -> dict[str, Any]:
+        """METADATA-ONLY column rename (the Iceberg rename analog — Iceberg
+        does it by field id; we do it by an era-versioned rename log, since
+        data dirs record their write version in their names). No data is
+        rewritten: files written before this commit keep the old physical
+        name and are aliased at read by ``_read_dirs``; files written after
+        carry the new name.
+
+        Contract notes (pins the r4 'rename vs drop+add' ambiguity):
+        - writing a batch under the OLD name after a rename is a schema ADD
+          of a fresh, unrelated column — name-based evolution is the
+          documented contract, ``rename_column`` is the explicit escape;
+        - key columns cannot be renamed (bucket exprs and consumer merge
+          keys are name-addressed; that path is ``rebucket``-class surgery);
+        - outstanding MOR deltas must be compacted first (delta files are
+          read by name via unionByName — mixed-era deltas would misalign).
+        """
+        m = self._load_manifest()
+        if old in self.key_cols:
+            raise ValueError(f"cannot rename key column {old!r}")
+        if not m.get("schema"):
+            raise ValueError("table has no recorded schema")
+        if self._delta_entries(m):
+            raise ValueError("outstanding MOR deltas: compact() before rename_column()")
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        new_version = m["version"] + 1
+        m["schema"] = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        ).json()
+        m.setdefault("renames", []).append({"from": old, "to": new, "v": new_version})
+        m["version"] = new_version
+        self._commit_manifest(m)
+        return {"version": new_version, "renamed": {old: new}}
 
     @_locked
     def rebucket(self, new_num_buckets: int) -> dict[str, Any]:

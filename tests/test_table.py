@@ -302,3 +302,102 @@ def test_cow_merge_never_narrows_recorded_schema(spark, tmp_path):
     t.merge(spark.createDataFrame([(2, "b")], ["k", "v"]), None, epoch_id="e1", n_updates=1)
     out = {r["k"]: (r["v"], r["w"]) for r in t.read().collect()}
     assert out == {1: ("a", "w1"), 2: ("b", None)}
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """rename_column is a metadata-only op (r4 verdict item 7): no data
+    rewrite, old-era files aliased at read, later writes carry the new name,
+    old snapshots keep the old name, and the documented contract holds
+    (old-name write after rename = fresh column; key renames refused;
+    outstanding deltas refused)."""
+    import os
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}", i * 10) for i in range(100)], ["k", "v", "w"]), epoch_id="b0")
+    v1 = t.version()
+    files_before = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tmp_path / "t" / "data")
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+    res = t.rename_column("v", "val")
+    # no data rewritten
+    files_after = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tmp_path / "t" / "data")
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert files_after == files_before
+    got = {r["k"]: (r["val"], r["w"]) for r in t.read().collect()}
+    assert got[7] == ("v7", 70) and len(got) == 100
+    assert "v" not in t.read().columns
+
+    # a rename-only commit reports ZERO changes (manifest pruning)
+    assert t.read_changes(v1, res["version"]).count() == 0
+
+    # old snapshot still reads the old name (time travel intact)
+    assert "v" in t.read(version=v1).columns
+
+    # post-rename writes carry the new name; mixed-era read stays correct
+    t.merge(spark.createDataFrame([(7, "patched", 7)], ["k", "val", "w"]), None, epoch_id="e2", n_updates=1)
+    got2 = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got2[7] == "patched" and got2[8] == "v8"
+    # read_changes across the rename+merge window: exactly the merged row
+    ch = [(r["k"], r["val"], r["_change"]) for r in t.read_changes(v1).collect()]
+    assert ch == [(7, "patched", "update")]
+
+    # point lookups stay era-aware too
+    pk = {r["k"]: r["val"] for r in t.read_keys(spark.createDataFrame([(7,), (9,)], ["k"])).collect()}
+    assert pk == {7: "patched", 9: "v9"}
+
+    # contract: writing under the OLD name now is a fresh-column ADD (and an
+    # upsert is a full-row replace, so unspecified columns null out)
+    t.merge(spark.createDataFrame([(3, "oldname")], ["k", "v"]), None, epoch_id="e3", n_updates=1)
+    rows = {r["k"]: r for r in t.read().filter("k in (3, 4)").collect()}
+    assert rows[3]["v"] == "oldname" and rows[3]["val"] is None
+    # untouched rows: fresh column null, renamed column's data intact
+    assert rows[4]["v"] is None and rows[4]["val"] == "v4"
+
+    # refusals
+    import pytest
+
+    with pytest.raises(ValueError, match="key column"):
+        t.rename_column("k", "kk")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("w", "val")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+
+
+def test_rename_column_requires_compaction(spark, tmp_path):
+    import pytest
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    t.overwrite(spark.createDataFrame([(1, "a")], ["k", "v"]), epoch_id="b0")
+    t.merge_mor(spark.createDataFrame([(2, "b")], ["k", "v"]), None, epoch_id="d1", n_updates=1)
+    with pytest.raises(ValueError, match="compact"):
+        t.rename_column("v", "val")
+    t.compact()
+    t.rename_column("v", "val")
+    assert {r["k"]: r["val"] for r in t.read().collect()} == {1: "a", 2: "b"}
+
+
+def test_rename_column_chain(spark, tmp_path):
+    """Chained renames compose (a->b then b->c): era-0 files resolve through
+    the full chain; MOR deltas written between renames resolve per era."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    t.overwrite(spark.createDataFrame([(1, "x1"), (2, "x2")], ["k", "a"]), epoch_id="b0")
+    t.rename_column("a", "b")
+    t.merge_mor(spark.createDataFrame([(3, "x3")], ["k", "b"]), None, epoch_id="d1", n_updates=1)
+    t.compact()
+    t.rename_column("b", "c")
+    assert {r["k"]: r["c"] for r in t.read().collect()} == {1: "x1", 2: "x2", 3: "x3"}
