@@ -243,13 +243,19 @@ def q_cdc_type_widening(spark, sf_dir):
     (Iceberg int->long/float->double promotion) and narrow base files
     upcast at read. Oracle = DuckDB read_parquet(union_by_name), which
     performs the identical widening, + LWW by key."""
-    import tempfile
+    import shutil
 
     from go_dcp_kafka_spark.gen import materialize_widening_log
     from go_dcp_kafka_spark.table.snapshot import SnapshotTable
 
     path = materialize_widening_log()
-    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="gdks_widen_"), ("k",), num_buckets=4)
+    # deterministic sibling of the .cache fixture (ADVICE r4: a fresh
+    # mkdtemp per invocation leaked one table dir per bench/sweep run);
+    # rebuilt from scratch each call — the query times TABLE construction,
+    # not a cached read
+    tdir = os.path.join(os.path.dirname(path), "widening_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    t = SnapshotTable(spark, tdir, ("k",), num_buckets=4)
     early = spark.read.parquet(f"{path}/part-0.parquet")
     late = spark.read.parquet(f"{path}/part-1.parquet")
     t.overwrite(early.select("k", "x", "f"), epoch_id="w0")

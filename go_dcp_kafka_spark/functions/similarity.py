@@ -178,9 +178,21 @@ def kmeans_train(
     (cross-join argmax + unnest/avg) reproduces the exact centroids.
     Empty cells keep their previous centroid (the standard Lloyd fallback).
     """
-    cents = embeddings.filter(F.col(id_col) < k).select(
-        F.col(id_col).cast("long").alias("cid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ce"),
+    # 'first k vectors by id' literally (ADVICE r4: `id < k` assumed dense
+    # 0-based ids — sparse/offset ids silently yielded < k centroids): take
+    # the k smallest ids and re-label 0..k-1. K rows driver-side — the
+    # trained model is driver-scale by design.
+    seed = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).cast("long"))
+        .limit(k)
+        .collect()
+    )
+    if len(seed) < k:
+        raise ValueError(f"need at least k={k} vectors to init, found {len(seed)}")
+    cents = embeddings.sparkSession.createDataFrame(
+        [(cid, [float(x) for x in r[vec_col]]) for cid, r in enumerate(seed)],
+        "cid long, ce array<double>",
     )
     for _ in range(n_iter):
         assigned = with_ivf_cell(embeddings.select(id_col, vec_col), cents, vec_col)

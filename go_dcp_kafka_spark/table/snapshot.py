@@ -127,6 +127,10 @@ def _epoch_num(epoch_id: str) -> tuple[str | None, int | None]:
 #: executor broadcast memory. Above the budget the join stays shuffled and
 #: AQE may still upgrade it from runtime stats.
 _BROADCAST_KEY_BYTES = 64 << 20
+#: row cap for the forced key broadcast: with the 64-byte flat estimate for
+#: variable-width types, bytes alone under-counts fat string keys; 500k rows
+#: of even-1KB keys is ~500MB — beyond this, leave the join choice to AQE
+_BROADCAST_KEY_MAX_ROWS = 500_000
 
 #: Conservative serialized-width estimate per Spark type (bytes per value);
 #: unlisted types (string, binary, arrays) assume 64.
@@ -158,8 +162,14 @@ def _est_row_bytes(schema: T.StructType) -> int:
 
 def _should_broadcast_keys(schema: T.StructType, n_updates: int | None) -> bool:
     """True when the epoch's update-key set fits the forced-broadcast byte
-    budget (estimated as rows × per-row type-width sum)."""
+    budget (estimated as rows × per-row type-width sum). Variable-width
+    columns (string/binary/array) estimate at a flat 64 bytes, which a
+    multi-KB key blows through — so the budget is ALSO capped by row count
+    (ADVICE r4): 1M × even-4KB keys would be a 4GB 'broadcast'. Past the
+    cap, let AQE decide from actual runtime sizes."""
     if n_updates is None:
+        return False
+    if n_updates > _BROADCAST_KEY_MAX_ROWS:
         return False
     return n_updates * _est_row_bytes(schema) <= _BROADCAST_KEY_BYTES
 
@@ -740,9 +750,14 @@ class SnapshotTable:
             # that column are selective, so IO inside each probed bucket dir
             # drops to the matching row groups (O(probe), not O(bucket)).
             # Semantics unchanged — the semi-join below remains the exact
-            # multi-column filter.
+            # multi-column filter. Null probe values are excluded from the
+            # IN set (ADVICE r4: None is unorderable, and the semi-join's
+            # null-unsafe equality can never match them anyway — consistent
+            # with the documented read().join(keys, semi) contract).
             k0 = self.key_cols[0]
-            state = state.filter(F.col(k0).isin(sorted({r[k0] for r in probe_rows})))
+            vals = sorted({r[k0] for r in probe_rows if r[k0] is not None})
+            if vals:
+                state = state.filter(F.col(k0).isin(vals))
         return state.join(F.broadcast(kdf), on=list(self.key_cols), how="left_semi")
 
     def _read_buckets(self, m: dict, buckets: list[int]) -> DataFrame | None:

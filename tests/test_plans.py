@@ -338,3 +338,30 @@ def test_dedup_segments_first_occurrence_is_partial_aggregate(spark):
     assert "Window" not in plan, "dedup_segments regressed to a window"
     # partial (map-side) aggregate keyed by seg, before the exchange
     assert "partial_min" in plan or "HashAggregate(keys=[seg" in plan, plan[:2000]
+
+
+def test_read_keys_handles_null_probe_keys(spark, tmp_path):
+    """Null-keyed probe rows no longer TypeError the IN pushdown (ADVICE
+    r4); they match nothing, consistent with read().join(keys, semi)."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(50)], ["k", "v"]), epoch_id="b0")
+    keys = spark.createDataFrame([(7,), (None,), (11,)], "k int")
+    got = sorted(tuple(r) for r in t.read_keys(keys).collect())
+    assert got == [(7, "v7"), (11, "v11")]
+    # all-null probe: empty result, no crash
+    assert t.read_keys(spark.createDataFrame([(None,)], "k int")).count() == 0
+
+
+def test_broadcast_key_budget_row_cap():
+    """Forced key broadcast is capped by rows as well as estimated bytes
+    (ADVICE r4: 1M multi-KB string keys passed the 64MB flat estimate)."""
+    from pyspark.sql import types as T
+
+    from go_dcp_kafka_spark.table.snapshot import _should_broadcast_keys
+
+    s = T.StructType([T.StructField("k", T.StringType())])
+    assert _should_broadcast_keys(s, 10_000)
+    assert not _should_broadcast_keys(s, 600_000)  # over the row cap
+    assert not _should_broadcast_keys(s, None)
