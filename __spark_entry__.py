@@ -265,6 +265,66 @@ def q_cdc_type_widening(spark, sf_dir):
     )
 
 
+def q_cdc_read_changes(spark, sf_dir):
+    """Incremental changelog read — the CDC-consumer poll ('what changed
+    since the snapshot I processed'), the reference's consumers-read-only-
+    the-appended-log semantics (/root/reference/kafka/client.go:220-233)
+    against the keyed table: build the fixture table, apply ONE epoch of ops
+    (value updates, NO-OP rewrites, inserts, deletes), and return
+    read_changes between the two committed snapshots. Manifest-pruned (r5):
+    only buckets whose dir refs/delta signatures differ are read and
+    joined. No-op rewrites must report NOTHING (null-safe value diff).
+    Oracle = DuckDB full-outer diff of the two folded states."""
+    import shutil
+
+    from go_dcp_kafka_spark.gen import materialize_changes_fixture
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    path = materialize_changes_fixture()
+    tdir = os.path.join(os.path.dirname(path), "changes_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    t = SnapshotTable(spark, tdir, ("k",), num_buckets=8)
+    base = spark.read.parquet(f"{path}/part-0.parquet")
+    ops = spark.read.parquet(f"{path}/part-1.parquet")
+    t.overwrite(base, epoch_id="c0")
+    v1 = t.version()
+    t.merge_mor(
+        ops.filter(F.col("op") == "mutation").select("k", "v", "n"),
+        ops.filter(F.col("op") == "deletion").select("k"),
+        epoch_id="c1",
+        n_updates=ops.count(),
+    )
+    return t.read_changes(v1).select("k", "v", "n", "_change")
+
+
+def q_cdc_rename_column(spark, sf_dir):
+    """Metadata-only column rename (r5): overwrite the fixture base, rename
+    v->val WITHOUT rewriting data, then COW-merge one epoch of ops under the
+    NEW name — the final read mixes pre-rename dirs (old physical name,
+    aliased by era) with post-rename dirs. Oracle = the same LWW fold in
+    SQL with the old name aliased."""
+    import shutil
+
+    from go_dcp_kafka_spark.gen import materialize_changes_fixture
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    path = materialize_changes_fixture()
+    tdir = os.path.join(os.path.dirname(path), "rename_table")
+    shutil.rmtree(tdir, ignore_errors=True)
+    t = SnapshotTable(spark, tdir, ("k",), num_buckets=8)
+    base = spark.read.parquet(f"{path}/part-0.parquet")
+    ops = spark.read.parquet(f"{path}/part-1.parquet")
+    t.overwrite(base, epoch_id="r0")
+    t.rename_column("v", "val")
+    t.merge(
+        ops.filter(F.col("op") == "mutation").select("k", F.col("v").alias("val"), "n"),
+        ops.filter(F.col("op") == "deletion").select("k"),
+        epoch_id="r1",
+        n_updates=ops.count(),
+    )
+    return t.read().select("k", "val", "n")
+
+
 def q_cdc_assemble_convs(spark, sf_dir):
     """Transcript payload -> training documents: fold the flagship change
     log, then assemble ONE document per conversation (turns in stable
@@ -824,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_to_profile": q_cdc_to_profile,
         "cdc_full_fold": q_cdc_full_fold,
         "cdc_type_widening": q_cdc_type_widening,
+        "cdc_read_changes": q_cdc_read_changes,
+        "cdc_rename_column": q_cdc_rename_column,
         "cdc_assemble_convs": q_cdc_assemble_convs,
         "cdc_sft_pairs": q_cdc_sft_pairs,
         "sort_topk": q_sort_topk,
@@ -995,7 +1057,12 @@ def _ivf_kmeans_sql(k: int = 8) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from go_dcp_kafka_spark.gen import materialize_evolved_log, materialize_flagship_log, materialize_widening_log
+    from go_dcp_kafka_spark.gen import (
+        materialize_changes_fixture,
+        materialize_evolved_log,
+        materialize_flagship_log,
+        materialize_widening_log,
+    )
 
     # materialize the fixtures NOW so the oracle can read them even if the
     # driver runs the SQL before (or without) the Spark query
@@ -1129,6 +1196,42 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (PARTITION BY k ORDER BY seqno DESC) AS rn
                 FROM read_parquet('{materialize_widening_log()}/*.parquet', union_by_name=true))
             WHERE rn = 1
+        """,
+        "cdc_read_changes": f"""
+            WITH old AS (
+                SELECT k, v, n FROM read_parquet('{materialize_changes_fixture()}/part-0.parquet')
+            ),
+            ops AS (
+                SELECT k, op, v, n FROM read_parquet('{materialize_changes_fixture()}/part-1.parquet')
+            ),
+            new AS (
+                SELECT o.k, o.v, o.n FROM old o WHERE o.k NOT IN (SELECT k FROM ops)
+                UNION ALL
+                SELECT k, v, n FROM ops WHERE op = 'mutation'
+            ),
+            diff AS (
+                SELECT
+                    COALESCE(n2.k, o.k) AS k,
+                    n2.v AS v,
+                    n2.n AS n,
+                    CASE WHEN o.k IS NULL THEN 'insert'
+                         WHEN n2.k IS NULL THEN 'delete'
+                         WHEN (o.v IS DISTINCT FROM n2.v) OR (o.n IS DISTINCT FROM n2.n) THEN 'update'
+                    END AS _change
+                FROM old o FULL OUTER JOIN new n2 ON o.k = n2.k
+            )
+            SELECT k, v, n, _change FROM diff WHERE _change IS NOT NULL
+        """,
+        "cdc_rename_column": f"""
+            WITH old AS (
+                SELECT k, v AS val, n FROM read_parquet('{materialize_changes_fixture()}/part-0.parquet')
+            ),
+            ops AS (
+                SELECT k, op, v AS val, n FROM read_parquet('{materialize_changes_fixture()}/part-1.parquet')
+            )
+            SELECT o.k, o.val, o.n FROM old o WHERE o.k NOT IN (SELECT k FROM ops)
+            UNION ALL
+            SELECT k, val, n FROM ops WHERE op = 'mutation'
         """,
         "cdc_assemble_convs": f"""
             WITH f AS ({fold_sql}),

@@ -456,6 +456,58 @@ def materialize_widening_log(path: str | None = None) -> str:
     return path
 
 
+def materialize_changes_fixture(path: str | None = None) -> str:
+    """Fixture for the INCREMENTAL-CHANGELOG driver query
+    (q:cdc_read_changes): ``part-0.parquet`` is the initial table state over
+    key ``k``; ``part-1.parquet`` is one CDC epoch of ops against it —
+    value-changing updates (k%10==0), NO-OP updates rewriting identical
+    values (k%10==5; a correct diff reports NOTHING for these), inserts
+    (k 200..219) and deletes (k%20==3). Idempotent + atomic so the Spark
+    query (SnapshotTable.read_changes between the two committed versions)
+    and the DuckDB oracle (full-outer diff of the folded states) see the
+    identical fixture."""
+    import tempfile
+
+    import numpy as np
+
+    if path is None:
+        cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
+        try:
+            os.makedirs(cache, exist_ok=True)
+            path = os.path.join(cache, "gdks_changes_fixture_v1")
+        except OSError:
+            path = os.path.join(tempfile.gettempdir(), "gdks_changes_fixture_v1")
+    if os.path.exists(os.path.join(path, "part-1.parquet")):
+        return path
+    tmp = f"{path}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    k = np.arange(200, dtype=np.int64)
+    base = pd.DataFrame({"k": k, "v": [f"v{i}" for i in k], "n": k * 7})
+    upd_k = k[k % 10 == 0]
+    noop_k = k[k % 10 == 5]
+    ins_k = np.arange(200, 220, dtype=np.int64)
+    del_k = k[k % 20 == 3]
+    ops = pd.concat(
+        [
+            pd.DataFrame({"k": upd_k, "op": "mutation", "v": [f"u{i}" for i in upd_k], "n": upd_k * 7 + 1}),
+            pd.DataFrame({"k": noop_k, "op": "mutation", "v": [f"v{i}" for i in noop_k], "n": noop_k * 7}),
+            pd.DataFrame({"k": ins_k, "op": "mutation", "v": [f"new{i}" for i in ins_k], "n": ins_k * 7}),
+            pd.DataFrame({"k": del_k, "op": "deletion", "v": None, "n": np.int64(0)}),
+        ],
+        ignore_index=True,
+    )
+    ops["n"] = ops["n"].astype("int64")
+    base.to_parquet(os.path.join(tmp, "part-0.parquet"), index=False)
+    ops.to_parquet(os.path.join(tmp, "part-1.parquet"), index=False)
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def fold_oracle(events: pd.DataFrame) -> pd.DataFrame:
     """Sequential reference fold: the semantics the distributed engine must
     reproduce exactly. Applies events in delivery order with per-partition
