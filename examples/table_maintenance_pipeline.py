@@ -50,6 +50,19 @@ def main() -> None:
     print("\nchangelog since v%d by kind:" % v0)
     changes.groupBy("_change").count().show()
 
+    # per-bucket compaction (r5): fold only buckets whose outstanding delta
+    # bytes reach a floor — on a table with hot buckets, the rewrite covers
+    # the hot slice and cold deltas wait until they accumulate
+    print("delta stats:", tbl.delta_stats())
+    print("hot-bucket compact:", tbl.compact(min_bucket_bytes=256 * 1024))
+
+    # metadata-only column rename (r5): no data rewrite — old-era files are
+    # aliased at read; old snapshots keep the old name (requires compacted
+    # deltas, so fold the rest first)
+    tbl.compact()
+    tbl.rename_column("tool", "tool_name")
+    print(f"\nafter rename, columns: {tbl.read().columns}")
+
     # bucket evolution: the table outgrew its bucket count
     print(f"buckets before: {tbl.num_buckets}")
     tbl.rebucket(32)
