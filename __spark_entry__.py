@@ -236,6 +236,21 @@ def q_cdc_to_profile(spark, sf_dir):
     return text_profile(docs)
 
 
+def _scratch_table_dir(fixture_path: str, name: str) -> str:
+    """Per-process scratch dir (sibling of the .cache fixture) for queries
+    that BUILD a SnapshotTable from a fixture: pid-suffixed so concurrent
+    harness/bench runs cannot rmtree each other's half-built tables
+    (r5 review), pre-cleaned for idempotent re-runs within the process, and
+    registered for removal at exit so repeated runs don't leak (ADVICE r4)."""
+    import atexit
+    import shutil
+
+    d = os.path.join(os.path.dirname(fixture_path), f"{name}_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def q_cdc_type_widening(spark, sf_dir):
     """Schema evolution, TYPE dimension: replay a change log whose late file
     promotes x:int32->int64 (values past 2^31) and f:float32->float64
@@ -243,19 +258,13 @@ def q_cdc_type_widening(spark, sf_dir):
     (Iceberg int->long/float->double promotion) and narrow base files
     upcast at read. Oracle = DuckDB read_parquet(union_by_name), which
     performs the identical widening, + LWW by key."""
-    import shutil
-
     from go_dcp_kafka_spark.gen import materialize_widening_log
     from go_dcp_kafka_spark.table.snapshot import SnapshotTable
 
     path = materialize_widening_log()
-    # deterministic sibling of the .cache fixture (ADVICE r4: a fresh
-    # mkdtemp per invocation leaked one table dir per bench/sweep run);
     # rebuilt from scratch each call — the query times TABLE construction,
     # not a cached read
-    tdir = os.path.join(os.path.dirname(path), "widening_table")
-    shutil.rmtree(tdir, ignore_errors=True)
-    t = SnapshotTable(spark, tdir, ("k",), num_buckets=4)
+    t = SnapshotTable(spark, _scratch_table_dir(path, "widening_table"), ("k",), num_buckets=4)
     early = spark.read.parquet(f"{path}/part-0.parquet")
     late = spark.read.parquet(f"{path}/part-1.parquet")
     t.overwrite(early.select("k", "x", "f"), epoch_id="w0")
@@ -275,15 +284,11 @@ def q_cdc_read_changes(spark, sf_dir):
     only buckets whose dir refs/delta signatures differ are read and
     joined. No-op rewrites must report NOTHING (null-safe value diff).
     Oracle = DuckDB full-outer diff of the two folded states."""
-    import shutil
-
     from go_dcp_kafka_spark.gen import materialize_changes_fixture
     from go_dcp_kafka_spark.table.snapshot import SnapshotTable
 
     path = materialize_changes_fixture()
-    tdir = os.path.join(os.path.dirname(path), "changes_table")
-    shutil.rmtree(tdir, ignore_errors=True)
-    t = SnapshotTable(spark, tdir, ("k",), num_buckets=8)
+    t = SnapshotTable(spark, _scratch_table_dir(path, "changes_table"), ("k",), num_buckets=8)
     base = spark.read.parquet(f"{path}/part-0.parquet")
     ops = spark.read.parquet(f"{path}/part-1.parquet")
     t.overwrite(base, epoch_id="c0")
@@ -303,15 +308,11 @@ def q_cdc_rename_column(spark, sf_dir):
     NEW name — the final read mixes pre-rename dirs (old physical name,
     aliased by era) with post-rename dirs. Oracle = the same LWW fold in
     SQL with the old name aliased."""
-    import shutil
-
     from go_dcp_kafka_spark.gen import materialize_changes_fixture
     from go_dcp_kafka_spark.table.snapshot import SnapshotTable
 
     path = materialize_changes_fixture()
-    tdir = os.path.join(os.path.dirname(path), "rename_table")
-    shutil.rmtree(tdir, ignore_errors=True)
-    t = SnapshotTable(spark, tdir, ("k",), num_buckets=8)
+    t = SnapshotTable(spark, _scratch_table_dir(path, "rename_table"), ("k",), num_buckets=8)
     base = spark.read.parquet(f"{path}/part-0.parquet")
     ops = spark.read.parquet(f"{path}/part-1.parquet")
     t.overwrite(base, epoch_id="r0")

@@ -36,11 +36,7 @@ from go_dcp_kafka_spark.sources.changelog import read_change_log  # noqa: E402
 from go_dcp_kafka_spark.streaming.runner import CdcPipeline  # noqa: E402
 
 
-def _burn(_):
-    x = 0
-    for i in range(30_000_000):
-        x += i
-    return x
+_BURN_CODE = "x = 0\nfor i in range(30_000_000):\n    x += i\n"
 
 
 def calibrate() -> dict:
@@ -52,14 +48,21 @@ def calibrate() -> dict:
     SELF-EVIDENT in the artifact instead of requiring cross-round forensics
     (r4 verdict item 3: two rounds of bench trend were weather, not code).
     Compare `sec_1proc` across BENCH_r*.json: same code + same calibration
-    => comparable numbers; a 2x calibration swing explains a 2x wall swing."""
-    import multiprocessing as mp
+    => comparable numbers; a 2x calibration swing explains a 2x wall swing.
+
+    Workers are bare ``python -c`` subprocesses (interpreter startup only,
+    ~30 ms) — a multiprocessing spawn pool would re-import this module and
+    its pyspark-heavy imports in every worker, billing seconds of import
+    IO/CPU to the 'pure-CPU' number and poisoning exactly the cross-round
+    comparability this exists for (r5 review)."""
+    import subprocess
 
     out = {}
     for n in (1, 4):
         t0 = time.time()
-        with mp.get_context("spawn").Pool(n) as pool:
-            pool.map(_burn, range(n))
+        procs = [subprocess.Popen([sys.executable, "-c", _BURN_CODE]) for _ in range(n)]
+        for p in procs:
+            p.wait()
         out[f"sec_{n}proc"] = round(time.time() - t0, 2)
     out["throttle_ratio_4v1"] = round(out["sec_4proc"] / out["sec_1proc"], 3)
     return out

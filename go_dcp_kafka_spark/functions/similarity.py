@@ -342,12 +342,18 @@ def update_ivf(
         .collect()
     }
     new_cells = {r["cell"] for r in assigned_new.select("cell").distinct().collect()}
-    affected = sorted(int(c) for c in old_cells | new_cells)
-    if not affected:
+    # a zero-norm vector gets a NULL cell (cosine is undefined); it lives in
+    # the hive default partition, which is an affected "cell" like any other
+    has_null_cell = any(c is None for c in old_cells | new_cells)
+    affected = sorted(int(c) for c in old_cells | new_cells if c is not None)
+    if not affected and not has_null_cell:
         return {"affected_cells": [], "emptied_cells": []}
 
+    cond = F.col("cell").isin(affected)
+    if has_null_cell:
+        cond = cond | F.col("cell").isNull()
     remaining = (
-        corpus.filter(F.col("cell").isin(affected))
+        corpus.filter(cond)
         .join(F.broadcast(changed_ids), id_col, "left_anti")
         .select(id_col, vec_col, F.col("cell").cast("long").alias("cell"))
     )
@@ -356,6 +362,8 @@ def update_ivf(
     out = remaining.unionByName(assigned_new).localCheckpoint(eager=True)
     present = {r["cell"] for r in out.select("cell").distinct().collect()}
     emptied = [c for c in affected if c not in present]
+    if has_null_cell and None not in present:
+        emptied.append(None)
     (
         out.repartition(F.col("cell"))
         .write.option("partitionOverwriteMode", "dynamic")
@@ -364,8 +372,12 @@ def update_ivf(
         .parquet(corpus_dir)
     )
     for c in emptied:
-        shutil.rmtree(os.path.join(corpus_dir, f"cell={c}"), ignore_errors=True)
-    return {"affected_cells": affected, "emptied_cells": emptied}
+        dname = "cell=__HIVE_DEFAULT_PARTITION__" if c is None else f"cell={c}"
+        shutil.rmtree(os.path.join(corpus_dir, dname), ignore_errors=True)
+    return {
+        "affected_cells": affected + ([None] if has_null_cell else []),
+        "emptied_cells": emptied,
+    }
 
 
 def ivf_probe_cells(centroids, query_vec: list[float], nprobe: int, c_id: str = "cid", c_vec: str = "ce") -> list[int]:

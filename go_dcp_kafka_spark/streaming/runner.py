@@ -143,11 +143,14 @@ class CdcPipeline:
         proxy, read amplification is actually ∝ delta BYTES, and epoch
         sizes vary. Either trigger firing compacts and resets both.
 
-        ``compact_bucket_bytes``: per-BUCKET floor for triggered
+        ``compact_bucket_bytes``: per-BUCKET floor for SIZE-triggered
         compactions — rewrite only buckets whose outstanding delta bytes
         reach it (SnapshotTable.compact(min_bucket_bytes=...)). On a table
         where deltas concentrate in a few hot buckets, the rewrite covers
         the hot slice; cold buckets' deltas survive until they accumulate.
+        The COUNT trigger (``compact_every``) always compacts fully — it is
+        the bound on the read-side delta-list length — and a size trigger
+        whose per-bucket floor folds nothing falls back to a full compact.
 
         ``dlq_retention_epochs``: prune ``_rejections`` epoch dirs more than
         N epochs behind the newest rejection epoch (checked on the
@@ -497,12 +500,26 @@ class CdcPipeline:
                     total += int(n) if n is not None else winners.count()
                 if mode == "mor" and (self.compact_every or self.compact_delta_bytes):
                     n_since = self._epochs_since_compact.get(name, 0) + 1
-                    due = bool(self.compact_every) and n_since >= self.compact_every
-                    if not due and self.compact_delta_bytes:
+                    due_count = bool(self.compact_every) and n_since >= self.compact_every
+                    due_size = False
+                    if not due_count and self.compact_delta_bytes:
                         # size-based trigger: manifest metadata only, no IO
-                        due = table.delta_stats()["bytes"] >= self.compact_delta_bytes
-                    if due:
-                        table.compact(min_bucket_bytes=self.compact_bucket_bytes)
+                        due_size = table.delta_stats()["bytes"] >= self.compact_delta_bytes
+                    if due_count:
+                        # the COUNT trigger always compacts fully: it is the
+                        # documented bound on the read-side delta-list length,
+                        # which a per-bucket floor must not defeat
+                        table.compact()
+                        n_since = 0
+                    elif due_size:
+                        r = table.compact(min_bucket_bytes=self.compact_bucket_bytes)
+                        if self.compact_bucket_bytes and not r.get("compacted"):
+                            # total bytes crossed the threshold but no single
+                            # bucket reached the floor (deltas spread thin):
+                            # fall back to a full compact — otherwise the
+                            # size trigger re-fires every epoch forever while
+                            # the delta list grows unbounded (r5 review)
+                            table.compact()
                         n_since = 0
                     self._epochs_since_compact[name] = n_since
             finally:

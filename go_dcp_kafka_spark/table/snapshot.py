@@ -525,20 +525,32 @@ class SnapshotTable:
     @staticmethod
     def _dir_era(d: str) -> int:
         """Write-era version parsed from a data dir path (every data dir is
-        named ``data/v{version:06d}[-delta]-{uuid}``)."""
-        mm = re.search(r"data/v(\d{6})", d)
-        return int(mm.group(1)) if mm else 0
+        named ``data/v{version:06d}[-delta]-{uuid}``; the %06d format WIDENS
+        past 10^6 versions, so parse all digits). Last match wins, so a
+        table rooted under a path that itself contains a ``data/vNNN-``
+        component still resolves its own (deeper) dir."""
+        mm = re.findall(r"data/v(\d+)(?=-)", d)
+        return int(mm[-1]) if mm else 0
 
     @staticmethod
-    def _physical_name(renames: list[dict], current: str, era: int) -> str:
+    def _physical_name(renames: list[dict], current: str, era: int) -> str | None:
         """The name ``current`` was physically stored under in files written
         at ``era`` — reverse-applies every rename committed AFTER that era,
         newest first (chains compose: a->b at v5, b->c at v9 means era-3
-        files store c's data under a)."""
+        files store c's data under a). Returns None when the column did not
+        EXIST at that era: if the walk hits a rename whose ``from`` equals
+        the working name, that name was occupied by a DIFFERENT column until
+        that rename freed it — the current holder (a fresh column re-added
+        under the name, including a chain's intermediate name) can only have
+        been created later, so era files have no data for it."""
         phys = current
         for r in sorted(renames, key=lambda r: -int(r["v"])):
-            if int(r["v"]) > era and phys == r["to"]:
+            if int(r["v"]) <= era:
+                break  # this and all older renames predate the files
+            if phys == r["to"]:
                 phys = r["from"]
+            elif phys == r["from"]:
+                return None
         return phys
 
     def _read_dirs(self, m: dict, dirs: list[str]) -> DataFrame:
@@ -564,16 +576,13 @@ class SnapshotTable:
         groups: dict[tuple[tuple[str, str], ...], list[str]] = {}
         for d in dirs:
             era = self._dir_era(d)
-            raw = [(f.name, self._physical_name(renames, f.name, era)) for f in schema.fields]
-            # collision: a fresh column re-ADDED under a renamed-away name
-            # maps to the same era-physical name as the renamed column. The
-            # rename-derived mapping owns that era's data; the fresh column
-            # did not exist then and reads as null via an absent placeholder
-            claimed: dict[str, int] = {}
-            for _, p in raw:
-                claimed[p] = claimed.get(p, 0) + 1
+            # _physical_name returns None for columns that did not exist at
+            # this era (fresh columns re-added under a renamed-away name,
+            # chain-intermediate names included): read them as null via an
+            # absent placeholder the files cannot contain
             mapping = tuple(
-                (c, f"__absent__{c}" if claimed[p] > 1 and c == p else p) for c, p in raw
+                (f.name, self._physical_name(renames, f.name, era) or f"__absent__{f.name}")
+                for f in schema.fields
             )
             groups.setdefault(mapping, []).append(d)
         parts = []
@@ -666,13 +675,7 @@ class SnapshotTable:
                 raise ValueError(f"epoch {as_of_epoch!r} was never committed to this table")
             version = int(m0["committed_epochs"][str(as_of_epoch)])
         if version is not None:
-            p = os.path.join(self.path, "_manifests", f"v{version:06d}.json")
-            if not os.path.exists(p):
-                raise ValueError(
-                    f"snapshot v{version} not available (retained: {self.versions()})"
-                )
-            with open(p) as f:
-                manifest = json.load(f)
+            manifest = self._manifest_at(version)
         m = manifest or self._load_manifest()
         deltas_e = self._delta_entries(m)
         if not deltas_e:

@@ -270,3 +270,26 @@ def test_partial_compaction_per_bucket_threshold(spark, tmp_path):
     res2 = t.compact()
     assert res2["compacted"] and t.delta_stats()["n_deltas"] == 0
     assert {r["k"]: r["v"] for r in t.read().collect()} == got
+
+
+def test_size_trigger_falls_back_to_full_compact(spark, tmp_path):
+    """With compact_delta_bytes set and an unreachable per-bucket floor, the
+    size trigger must fall back to a FULL compact instead of no-op'ing every
+    epoch while the delta list grows unbounded (r5 review)."""
+    import os
+    import tempfile
+
+    from go_dcp_kafka_spark.gen import GenConfig, generate_change_events, write_change_log
+    from go_dcp_kafka_spark.streaming.runner import CdcPipeline
+
+    res = generate_change_events(GenConfig(seed=5, n_convs=80, n_partitions=8))
+    log = tempfile.mkdtemp()
+    write_change_log(res.events, log, n_files=6, evolution_boundary=res.meta["evolution_boundary"])
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "t"), run_id="fb", merge_mode="mor",
+        compact_every=0, compact_delta_bytes=1, compact_bucket_bytes=10**15,
+    )
+    pipe.run_stream(log, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    # every epoch crossed the total-bytes threshold; the unreachable floor
+    # must not have left the deltas outstanding
+    assert pipe.tables["transcripts"].delta_stats()["n_deltas"] <= 1

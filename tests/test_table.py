@@ -401,3 +401,58 @@ def test_rename_column_chain(spark, tmp_path):
     t.compact()
     t.rename_column("b", "c")
     assert {r["k"]: r["c"] for r in t.read().collect()} == {1: "x1", 2: "x2", 3: "x3"}
+
+
+def test_rename_chain_fresh_intermediate_name(spark, tmp_path):
+    """A fresh column re-added under a chain's INTERMEDIATE name (a->b->c,
+    then a new 'b' arrives) must read as null for eras before its creation
+    — not crash with a duplicate physical column, not serve the chain's old
+    data (r5 review)."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    t.overwrite(spark.createDataFrame([(1, "x1"), (2, "x2")], ["k", "a"]), epoch_id="b0")
+    t.rename_column("a", "b")
+    t.rename_column("b", "c")
+    # fresh, unrelated column named 'b' (the freed intermediate name)
+    t.merge(spark.createDataFrame([(3, "c3", "fresh3")], ["k", "c", "b"]), None, epoch_id="e1", n_updates=1)
+    rows = {r["k"]: (r["c"], r["b"]) for r in t.read().collect()}
+    assert rows == {1: ("x1", None), 2: ("x2", None), 3: ("c3", "fresh3")}
+    # and a fresh column under the chain's ORIGINAL name behaves the same
+    t.merge(spark.createDataFrame([(4, "c4", "orig4")], ["k", "c", "a"]), None, epoch_id="e2", n_updates=1)
+    rows = {r["k"]: (r["c"], r["a"]) for r in t.read().collect()}
+    assert rows[1] == ("x1", None) and rows[4] == ("c4", "orig4")
+
+
+def test_dir_era_parses_wide_versions_and_prefixed_paths():
+    """_dir_era: 7+ digit versions parse whole (streaming tables pass 10^6
+    versions in days); a 'data/vNNN-' component in the table ROOT path must
+    not shadow the actual data dir's era (r5 review)."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    e = SnapshotTable._dir_era
+    assert e("/tbl/data/v000012-abcd1234/_bucket=3") == 12
+    assert e("/tbl/data/v1000000-abcd1234/_bucket=0") == 1_000_000
+    assert e("/tbl/data/v000012-delta-abcd1234/_bucket=1") == 12
+    assert e("/srv/data/v000999-x/tbl/data/v000002-abcd1234/_bucket=0") == 2
+    assert e("/tbl/no-data-dir") == 0
+
+
+def test_physical_name_era_walk():
+    """Pure-unit coverage of the rename era walker: chains compose, eras
+    between renames resolve to the intermediate name, and names freed by a
+    later rename mark the current (fresh) holder absent (None)."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    rn = [{"from": "a", "to": "b", "v": 5}, {"from": "b", "to": "c", "v": 9}]
+    p = SnapshotTable._physical_name
+    assert p(rn, "c", 3) == "a"      # full chain reverse-applied
+    assert p(rn, "c", 6) == "b"      # era between the renames
+    assert p(rn, "c", 9) == "c"      # era at/after the last rename
+    assert p(rn, "b", 3) is None     # fresh 'b' (freed at v9) absent pre-v9
+    assert p(rn, "b", 6) is None
+    assert p(rn, "b", 9) == "b"      # at/after v9 a fresh 'b' owns the name
+    assert p(rn, "a", 3) is None     # fresh 'a' (freed at v5) absent pre-v5
+    assert p(rn, "a", 5) == "a"
+    assert p(rn, "other", 1) == "other"  # untouched columns pass through
+    assert p([], "x", 0) == "x"
