@@ -146,7 +146,11 @@ def with_ivf_cell(
     )
 
     def step(acc, c):
-        cos = F.round(dot_expr(F.col(vec_col), c["ce"]) / (vnorm * c["cn"]), 6)
+        # try_divide: a zero-norm vector (or degenerate centroid) has no
+        # defined cosine — null, not an ANSI divide-by-zero crash (r5
+        # review); the null comparison falls through to `otherwise`, so such
+        # vectors keep the null init cid and land in the default partition
+        cos = F.round(F.try_divide(dot_expr(F.col(vec_col), c["ce"]), vnorm * c["cn"]), 6)
         return F.when(cos > acc["cos"], F.struct(cos.alias("cos"), c["cid"].alias("cid"))).otherwise(acc)
 
     best = F.aggregate(F.col("_cents"), init, step)

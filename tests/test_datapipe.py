@@ -532,11 +532,13 @@ def test_update_ivf_tracks_cdc_changes(spark, tmp_path):
         if d.startswith("cell=")
     }
 
-    # CDC epoch: one insert, one update, one delete
+    # CDC epoch: inserts (one of them ZERO-NORM -> null IVF cell, the r5
+    # review crash case), one update, one delete
     ups = spark.createDataFrame(
-        [(300, [0.9] * 8), (5, [-0.9] * 8)], "vec_id long, embedding array<double>"
+        [(300, [0.9] * 8), (301, [0.0] * 8), (5, [-0.9] * 8)],
+        "vec_id long, embedding array<double>",
     )
-    t.merge_mor(ups, spark.createDataFrame([(17,)], "vec_id long"), epoch_id="e1", n_updates=3)
+    t.merge_mor(ups, spark.createDataFrame([(17,)], "vec_id long"), epoch_id="e1", n_updates=4)
 
     res = update_ivf(spark, idx, t.read_changes(v1))
     assert res["affected_cells"], res
