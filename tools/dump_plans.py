@@ -170,6 +170,25 @@ def main() -> None:
         "filter is a projection on top. No global sort, no driver state.",
     )
 
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    td = tempfile.mkdtemp()
+    tbl = SnapshotTable(spark, os.path.join(td, "t"), ("k",), num_buckets=8)
+    tbl.overwrite(
+        spark.createDataFrame([(i, f"v{i}") for i in range(400)], ["k", "v"]), epoch_id="p0"
+    )
+    v1 = tbl.version()
+    tbl.merge(spark.createDataFrame([(7, "new7")], ["k", "v"]), None, epoch_id="p1", n_updates=1)
+    cap(
+        "Manifest-pruned incremental read_changes (one-bucket change)",
+        tbl.read_changes(v1),
+        "The two snapshots' manifests are diffed DRIVER-side (per-bucket dir "
+        "refs + delta signatures) before any scan: only the one changed "
+        "bucket's file appears on each side of the full-outer diff join — a "
+        "CDC consumer's poll costs O(changed), never a double full-table "
+        "scan (r5 verdict item 1).",
+    )
+
     out = (
         "# PLANS — physical plans of the core operators (captured from .explain)\n\n"
         "Regenerate: `python tools/dump_plans.py` (this file).\n\n" + "\n".join(sections)
