@@ -103,3 +103,78 @@ def test_table_matches_sequential_dict_fold(spark, tmp_path_factory, ops):
     probe = spark.createDataFrame([(k,) for k in range(12)], "k long")
     looked = {r["k"]: (r["v"], r["w"]) for r in t.read_keys(probe).collect()}
     assert looked == state
+
+
+@st.composite
+def rename_op_sequences(draw):
+    """6-11 ops mixing COW/MOR upserts, compactions, and RENAMES of either
+    payload slot (always to a fresh name — chains build up naturally)."""
+    n_ops = draw(st.integers(6, 11))
+    ops = []
+    for i in range(n_ops):
+        kind = draw(st.sampled_from(["cow", "mor", "mor", "compact", "rename", "rename"]))
+        if kind == "compact":
+            ops.append(("compact", None))
+            continue
+        if kind == "rename":
+            ops.append(("rename", draw(st.sampled_from(["A", "B"]))))
+            continue
+        rows = []
+        for j in range(draw(st.integers(1, 4))):
+            k = draw(st.integers(0, 9))
+            rows.append((k, f"a{i}-{j}", f"b{i}-{j}" if draw(st.booleans()) else None))
+        ops.append((kind, rows))
+    return ops
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=rename_op_sequences())
+def test_renames_interleaved_with_merges_match_dict_fold(spark, tmp_path_factory, ops):
+    """For ANY interleaving of COW/MOR merges, compactions, and column
+    renames, read() under the CURRENT names equals the sequential dict fold
+    — the era-aliasing read path (r5 rename_column) must be transparent."""
+    from pyspark.sql import types as T
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    path = str(tmp_path_factory.mktemp("prt"))
+    t = SnapshotTable(
+        spark, path, ("k",), num_buckets=4,
+        schema=T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("a", T.StringType()),
+                T.StructField("b", T.StringType()),
+            ]
+        ),
+    )
+    names = {"A": "a", "B": "b"}
+    state: dict[int, tuple] = {}
+    for i, (kind, payload) in enumerate(ops):
+        if kind == "compact":
+            t.compact()
+            continue
+        if kind == "rename":
+            t.compact()  # rename contract: no outstanding deltas
+            new = f"c{i}"
+            t.rename_column(names[payload], new)
+            names[payload] = new
+            continue
+        batch = {}
+        for k, va, vb in payload:
+            batch[k] = (va, vb)
+        df = spark.createDataFrame(
+            [(k, va, vb) for k, (va, vb) in batch.items()],
+            f"k long, {names['A']} string, {names['B']} string",
+        )
+        fn = t.merge if kind == "cow" else t.merge_mor
+        fn(df, None, epoch_id=f"r:{i}", n_updates=len(batch))
+        state.update(batch)
+    got = {
+        r["k"]: (r[names["A"]], r[names["B"]]) for r in t.read().collect()
+    }
+    assert got == state
