@@ -289,6 +289,10 @@ def materialize_ivf(
     (
         with_ivf_cell(embeddings.select(id_col, vec_col), centroids, vec_col)
         .repartition(F.col("cell"))
+        # in-task sort by id (no extra exchange): parquet row-group min/max
+        # stats on the id column become selective, so update_ivf's
+        # changed-id lookup reads matching row groups, not whole cells
+        .sortWithinPartitions(id_col)
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(corpus_dir)
@@ -337,10 +341,20 @@ def update_ivf(
     ).select(id_col, vec_col, F.col("cell").cast("long").alias("cell"))
 
     corpus = spark.read.parquet(corpus_dir)
+    # old-cell lookup: a column-pruned (id, cell) scan semi-joined with the
+    # broadcast changed-id set. For point-poll-sized change sets (≤1024 ids,
+    # the read_keys cap) the ids are ALSO pushed as an IN predicate so the
+    # id-sorted row-group stats materialize_ivf lays down skip everything
+    # but the matching row groups — O(changed), not O(corpus id column)
+    id_cell = corpus.select(id_col, "cell")
+    probe = changed_ids.limit(1025).collect()
+    if len(probe) <= 1024:
+        vals = sorted({r[id_col] for r in probe if r[id_col] is not None})
+        if vals:
+            id_cell = id_cell.filter(F.col(id_col).isin(vals))
     old_cells = {
         r["cell"]
-        for r in corpus.select(id_col, "cell")
-        .join(F.broadcast(changed_ids), id_col, "left_semi")
+        for r in id_cell.join(F.broadcast(changed_ids), id_col, "left_semi")
         .select("cell")
         .distinct()
         .collect()
