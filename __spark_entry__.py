@@ -299,7 +299,9 @@ def q_cdc_read_changes(spark, sf_dir):
         epoch_id="c1",
         n_updates=ops.count(),
     )
-    return t.read_changes(v1).select("k", "v", "n", "_change")
+    # n as double on BOTH twins: deletes carry null, and a nullable BIGINT
+    # degrades to float64 in the oracle's pandas frame (dtype-kind parity)
+    return t.read_changes(v1).select("k", "v", F.col("n").cast("double").alias("n"), "_change")
 
 
 def q_cdc_rename_column(spark, sf_dir):
@@ -1214,7 +1216,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT
                     COALESCE(n2.k, o.k) AS k,
                     n2.v AS v,
-                    n2.n AS n,
+                    CAST(n2.n AS DOUBLE) AS n,
                     CASE WHEN o.k IS NULL THEN 'insert'
                          WHEN n2.k IS NULL THEN 'delete'
                          WHEN (o.v IS DISTINCT FROM n2.v) OR (o.n IS DISTINCT FROM n2.n) THEN 'update'

@@ -1099,6 +1099,120 @@ class SnapshotTable:
             or so.get(b, []) != sn.get(b, [])
         }
 
+    def _appended_delta_entries(
+        self, old_m: dict, new_m: dict
+    ) -> list[tuple[int, dict[int, str]]] | None:
+        """If ``new_m`` is ``old_m`` plus ONLY appended MOR delta entries
+        (same bucket count, identical base bucket refs, old delta list an
+        exact prefix — excludes included), return the appended entries as
+        ``(lww_version, {bucket: abs dir})``; else None. This is the common
+        CDC-consumer poll shape: one or more streaming epochs landed since
+        the last poll and nothing else moved."""
+        if old_m["num_buckets"] != new_m["num_buckets"]:
+            return None
+        if old_m["buckets"] != new_m["buckets"]:
+            return None
+        od, nd = old_m.get("deltas", []), new_m.get("deltas", [])
+        if len(nd) <= len(od) or od != nd[: len(od)]:
+            return None
+        out: list[tuple[int, dict[int, str]]] = []
+        for idx in range(len(od), len(nd)):
+            entry = nd[idx]
+            rel, ver = (
+                (entry["dir"], int(entry["v"])) if isinstance(entry, dict) else (entry, idx + 1)
+            )
+            excl = set(entry.get("exclude", [])) if isinstance(entry, dict) else set()
+            root = os.path.join(self.path, rel)
+            if not os.path.isdir(root):
+                continue
+            bd = {
+                int(e.split("=")[1]): os.path.join(root, e)
+                for e in os.listdir(root)
+                if e.startswith("_bucket=") and int(e.split("=")[1]) not in excl
+            }
+            if bd:
+                out.append((ver, bd))
+        return out or None
+
+    def _read_changes_appended(
+        self, old_m: dict, new_m: dict, appended: list[tuple[int, dict[int, str]]], from_version: int
+    ) -> DataFrame:
+        """Appended-delta fast path for ``read_changes``: the change set IS
+        the appended deltas' rows. Read ONLY the delta files (O(delta), not
+        O(touched buckets)) and probe the OLD side for exactly those keys —
+        bucket-pruned to the deltas' own buckets, with the point-poll IN
+        pushdown (sorted buckets skip to matching row groups). This is the
+        reference's consumers-read-only-the-appended-log-segment cost model
+        (/root/reference/kafka/client.go:220-233) realized on the table."""
+        delta_dfs = []
+        for ver, bd in appended:
+            df = self.spark.read.option("mergeSchema", "true").parquet(*sorted(bd.values()))
+            delta_dfs.append(df.withColumn("_v", F.lit(ver)))
+        allr = delta_dfs[0]
+        for df in delta_dfs[1:]:
+            allr = allr.unionByName(df, allowMissingColumns=True)
+        # final payload shape: the NEW manifest schema minus keys — delta
+        # files may be narrower (missed evolved columns => null in the new
+        # state, full-row-replace semantics) or carry pre-widening types
+        schema = T.StructType.fromJson(json.loads(new_m["schema"]))
+        payload = [f.name for f in schema.fields if f.name not in self.key_cols]
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        dcols = set(allr.columns)
+        aligned = [
+            (F.col(c).cast(types[c]) if c in dcols else F.lit(None).cast(types[c])).alias(c)
+            for c in payload
+        ]
+        winners = (
+            allr.groupBy(*self.key_cols)
+            .agg(F.max_by(F.struct(F.col("_op"), *aligned), F.col("_v")).alias("w"))
+            .select(
+                *self.key_cols,
+                F.col("w._op").alias("_op"),
+                F.struct(*[F.col(f"w.{c}").alias(c) for c in payload]).alias("_new"),
+            )
+            # delta-sized; materialize once so the probe collect below and
+            # the broadcast semi-filter don't re-read the delta files
+            .localCheckpoint(eager=True)
+        )
+        buckets = sorted({b for _, bd in appended for b in bd})
+        old = self._resolve_lww(old_m, self._delta_entries(old_m), buckets)
+        for r in sorted(new_m.get("renames") or [], key=lambda r: int(r["v"])):
+            if int(r["v"]) > from_version and r["from"] in old.columns and r["to"] not in old.columns:
+                old = old.withColumnRenamed(r["from"], r["to"])
+        old_types = dict(old.dtypes)
+        o_aligned = [
+            (F.col(c).cast(types[c]) if c in old.columns and old_types.get(c) != types[c] else
+             (F.col(c) if c in old.columns else F.lit(None).cast(types[c]))).alias(c)
+            for c in payload
+        ]
+        # point-poll IN pushdown (the read_keys cap): with sorted buckets the
+        # old-side scan skips to the probed keys' row groups
+        k0 = self.key_cols[0]
+        probe = winners.select(k0).limit(1025).collect()
+        if len(probe) <= 1024:
+            vals = sorted({r[k0] for r in probe if r[k0] is not None})
+            if vals:
+                old = old.filter(F.col(k0).isin(vals))
+        o = (
+            old.join(F.broadcast(winners.select(*self.key_cols)), on=list(self.key_cols), how="left_semi")
+            .select(*self.key_cols, F.struct(*o_aligned).alias("_old"))
+        )
+        j = winners.join(o, on=list(self.key_cols), how="left")
+        change = (
+            F.when(F.col("_op") == "d", F.when(F.col("_old").isNotNull(), F.lit("delete")))
+            .when(F.col("_old").isNull(), F.lit("insert"))
+            .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
+        )
+        return (
+            j.withColumn("_change", change)
+            .filter(F.col("_change").isNotNull())
+            .select(
+                *self.key_cols,
+                *[F.col(f"_new.{c}").alias(c) for c in payload],
+                "_change",
+            )
+        )
+
     def _epoch_to_version(self, epoch_id: str) -> int:
         m = self._load_manifest()
         if str(epoch_id) not in m["committed_epochs"]:
@@ -1155,6 +1269,13 @@ class SnapshotTable:
             raise ValueError("read_changes requires from_version or from_epoch")
         old_m = self._manifest_at(from_version)
         new_m = self._manifest_at(to_version) if to_version is not None else self._load_manifest()
+        # FAST PATH — the common consumer poll: only MOR deltas were
+        # appended since from_version. The change set IS the delta: read
+        # only the delta files and probe old values for exactly those keys
+        # (O(delta) + matching row groups, not O(touched buckets) twice)
+        appended = self._appended_delta_entries(old_m, new_m)
+        if appended is not None:
+            return self._read_changes_appended(old_m, new_m, appended, from_version)
         changed = self._changed_buckets(old_m, new_m)
         if changed is None:
             # rebucketed between snapshots: bucket ids are not comparable

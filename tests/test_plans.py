@@ -365,3 +365,63 @@ def test_broadcast_key_budget_row_cap():
     assert _should_broadcast_keys(s, 10_000)
     assert not _should_broadcast_keys(s, 600_000)  # over the row cap
     assert not _should_broadcast_keys(s, None)
+
+
+def test_read_changes_appended_delta_fast_path(spark, tmp_path):
+    """The common consumer poll (only MOR deltas appended since
+    from_version) must read ONLY the delta files + the probed old row
+    groups — not both sides' full bucket states (r5 fast path)."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=8)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(400)], ["k", "v"]), epoch_id="b0")
+    v1 = t.version()
+    t.merge_mor(spark.createDataFrame([(7, "new7")], ["k", "v"]), None, epoch_id="d1", n_updates=1)
+    assert t._appended_delta_entries(t._manifest_at(v1), t._load_manifest()) is not None
+    df = t.read_changes(v1)
+    got = [(r["k"], r["v"], r["_change"]) for r in df.collect()]
+    assert got == [(7, "new7", "update")]
+    n_files = _walk_metric_sum(df._jdf.queryExecution().executedPlan(), "numFiles", "Scan")
+    # 1 delta file + 1 old bucket file; the generic pruned path would read 3
+    # (old bucket + new bucket + delta for the resolve)
+    assert 0 < n_files <= 2, f"fast path scanned {n_files} files"
+    # after a compact the appended-prefix shape is gone -> generic path
+    t.compact()
+    t.merge(spark.createDataFrame([(9, "c9")], ["k", "v"]), None, epoch_id="e2", n_updates=1)
+    assert t._appended_delta_entries(t._manifest_at(v1), t._load_manifest()) is None
+    got2 = {r["k"]: (r["v"], r["_change"]) for r in t.read_changes(v1).collect()}
+    assert got2 == {7: ("new7", "update"), 9: ("c9", "update")}
+
+
+def test_read_changes_fast_path_semantics(spark, tmp_path):
+    """Fast-path LWW across several appended epochs: last write wins,
+    insert-then-delete collapses to nothing, delete-of-absent is silent,
+    no-op rewrites report nothing, schema-added columns align."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    t.overwrite(spark.createDataFrame([(1, "a1"), (2, "a2"), (3, "a3")], ["k", "v"]), epoch_id="b0")
+    v1 = t.version()
+    # epoch 1: update k1, insert k10, no-op rewrite k3, delete absent k99
+    t.merge_mor(
+        spark.createDataFrame([(1, "b1"), (10, "b10"), (3, "a3")], ["k", "v"]),
+        spark.createDataFrame([(99,)], "k long"), epoch_id="d1", n_updates=4,
+    )
+    # epoch 2: re-update k1, delete the k10 just inserted, schema-add col w
+    t.merge_mor(
+        spark.createDataFrame([(1, "c1", "w1")], ["k", "v", "w"]),
+        spark.createDataFrame([(10,)], "k long"), epoch_id="d2", n_updates=2,
+    )
+    assert t._appended_delta_entries(t._manifest_at(v1), t._load_manifest()) is not None
+    got = {r["k"]: (r["v"], r["w"], r["_change"]) for r in t.read_changes(v1).collect()}
+    # k1: one row, the LAST value; k10 insert+delete: absent; k3 no-op:
+    # absent; k99 delete-of-absent: absent
+    assert got == {1: ("c1", "w1", "update")}
+    # equivalence with the generic diff, forced by disabling the fast path
+    orig = type(t)._appended_delta_entries
+    try:
+        type(t)._appended_delta_entries = lambda self, a, b: None
+        slow = {r["k"]: (r["v"], r["w"], r["_change"]) for r in t.read_changes(v1).collect()}
+    finally:
+        type(t)._appended_delta_entries = orig
+    assert slow == got
