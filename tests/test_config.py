@@ -26,6 +26,18 @@ def test_yaml_config_with_env(tmp_path, monkeypatch):
     assert cfg.max_files_per_trigger == 2  # defaults applied
 
 
+def test_yaml_compaction_knobs(tmp_path):
+    y = tmp_path / "cfg.yml"
+    y.write_text(
+        "base_dir: /b\nsource_dir: /s\ncompact_every: 8\n"
+        "compact_delta_bytes: 1048576\ncompact_bucket_bytes: 65536\n"
+    )
+    cfg = PipelineConfig.from_yaml(str(y))
+    assert cfg.compact_every == 8
+    assert cfg.compact_delta_bytes == 1_048_576
+    assert cfg.compact_bucket_bytes == 65_536
+
+
 def test_unknown_config_keys_rejected():
     with pytest.raises(ValueError, match="unknown config keys"):
         PipelineConfig.from_yaml("base_dir: /x\nbogus_knob: 1\n")
