@@ -78,6 +78,10 @@ class PipelineConfig:
     source_format: str = "parquet"        # 'parquet' | 'json' (Kafka/Debezium-style lines)
     sink_compression: str = "snappy"      # producer compression analog (client.go:202-218): snappy|gzip|zstd|lz4|none
     sort_within_buckets: bool = False     # key-sorted bucket files -> selective row-group stats for point lookups
+    #: S8 transport block (secureConnection + scramUsername/scramPassword +
+    #: rootCA(Path)/interCA(Path), config/config.go:19-38): validated and
+    #: mapped to Spark Kafka-source options by kafka_security_options()
+    security: dict | None = None
 
     @classmethod
     def from_yaml(cls, path_or_text: str) -> PipelineConfig:
@@ -93,6 +97,32 @@ class PipelineConfig:
         if unknown:
             raise ValueError(f"unknown config keys: {sorted(unknown)}")
         return cls(**raw)
+
+    def kafka_security_options(self) -> dict[str, str]:
+        """Resolve the ``security`` block (reference field names, camelCase
+        or snake_case) into the Spark Kafka-source transport options; {}
+        when ``secureConnection`` is false/absent, ValueError when secure
+        but no CA resolves (client.go:92-96)."""
+        s = self.security or {}
+
+        def g(*names):
+            for n in names:
+                if s.get(n):
+                    return s[n]
+            return None
+
+        if not (g("secureConnection", "secure_connection")):
+            return {}
+        from go_dcp_kafka_spark.sources.changelog import kafka_transport_security_options
+
+        return kafka_transport_security_options(
+            scram_username=g("scramUsername", "scram_username") or "",
+            scram_password=g("scramPassword", "scram_password") or "",
+            root_ca_path=g("rootCAPath", "root_ca_path"),
+            inter_ca_path=g("interCAPath", "inter_ca_path"),
+            root_ca=g("rootCA", "root_ca"),
+            inter_ca=g("interCA", "inter_ca"),
+        )
 
 
 class PipelineBuilder:

@@ -96,16 +96,71 @@ def stream_change_log_json(
     return reader.json(path)
 
 
-def kafka_change_log_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
+def kafka_change_log_options(
+    bootstrap_servers: str, topic: str, security: dict[str, str] | None = None
+) -> dict[str, str]:
     """The options a real Kafka deployment passes to
     ``spark.readStream.format("kafka")``; the value column is then parsed
     with ``from_json(CHANGE_EVENT_SCHEMA)`` into the same envelope. Kept as
     a documented mapping (no Kafka broker or connector jar exists in this
     sandbox; the JSON-lines source above exercises the identical parse
-    path)."""
-    return {
+    path). ``security``: the dict from
+    ``kafka_transport_security_options`` (TLS/SCRAM), merged in."""
+    out = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,
         "startingOffsets": "earliest",
         "failOnDataLoss": "false",
+    }
+    if security:
+        out.update(security)
+    return out
+
+
+def kafka_transport_security_options(
+    scram_username: str,
+    scram_password: str,
+    root_ca_path: str | None = None,
+    inter_ca_path: str | None = None,
+    root_ca: str | None = None,
+    inter_ca: str | None = None,
+) -> dict[str, str]:
+    """SCRAM-SHA-512-over-TLS transport config (S8), mapped Spark-native.
+
+    Mirrors the reference's ``newTLSContent``
+    (/root/reference/kafka/client.go:45-104) field-for-field: SCRAM
+    credentials, root + intermediate CAs as either ``$ENV``-expandable file
+    paths or inline PEM strings, with the same validation — at least one CA
+    must resolve or the config is refused (client.go:92-96, "certPool is
+    empty") — and the same TLS 1.2 floor (tls.Config MinVersion). Emitted
+    as the option dict Spark's Kafka source forwards to the Java client:
+    SASL_SSL + ScramLoginModule JAAS + a PEM truststore. The transport
+    itself is the cluster's Kafka client — engine semantics end at
+    producing a correct, validated option set."""
+    import os as _os
+
+    pems: list[str] = []
+    for p in (root_ca_path, inter_ca_path):
+        if p:
+            with open(_os.path.expandvars(p)) as f:
+                pems.append(f.read().strip())
+    for c in (root_ca, inter_ca):
+        if c:
+            pems.append(c.strip())
+    if not pems:
+        raise ValueError(
+            "certPool is empty: provide at least one CA (path or inline PEM)"
+        )
+    jaas = (
+        "org.apache.kafka.common.security.scram.ScramLoginModule required "
+        f'username="{scram_username}" password="{scram_password}";'
+    )
+    return {
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.mechanism": "SCRAM-SHA-512",
+        "kafka.sasl.jaas.config": jaas,
+        "kafka.ssl.truststore.type": "PEM",
+        "kafka.ssl.truststore.certificates": "\n".join(pems),
+        "kafka.ssl.protocol": "TLSv1.2",
+        "kafka.ssl.enabled.protocols": "TLSv1.2,TLSv1.3",
     }

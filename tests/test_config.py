@@ -100,3 +100,47 @@ def test_builder_wires_metrics_oversize_and_logger(spark, log_dir, tmp_path):
     assert pipe.max_message_bytes == 25 and pipe.metrics is reg
     pipe.run_stream(log_dir, str(tmp_path / "ck"), max_files_per_trigger=8)
     assert reg.get(BATCH_PRODUCE_LATENCY_MS) > 0
+
+
+def test_transport_security_mapping(tmp_path, monkeypatch):
+    """S8 TLS/SCRAM mapped Spark-native (client.go:45-104): same fields
+    (inline PEMs or $ENV-expandable paths), same validation (empty cert
+    pool refused), emitted as the Kafka-source option set."""
+    from go_dcp_kafka_spark.sources.changelog import (
+        kafka_change_log_options,
+        kafka_transport_security_options,
+    )
+
+    ca = tmp_path / "ca.pem"
+    ca.write_text("-----BEGIN CERTIFICATE-----\nROOT\n-----END CERTIFICATE-----")
+    monkeypatch.setenv("CA_DIR", str(tmp_path))
+    sec = kafka_transport_security_options(
+        "svc-user", "s3cret", root_ca_path="$CA_DIR/ca.pem", inter_ca="INTERPEM"
+    )
+    assert sec["kafka.security.protocol"] == "SASL_SSL"
+    assert sec["kafka.sasl.mechanism"] == "SCRAM-SHA-512"
+    assert 'username="svc-user"' in sec["kafka.sasl.jaas.config"]
+    assert "ScramLoginModule required" in sec["kafka.sasl.jaas.config"]
+    assert sec["kafka.ssl.truststore.type"] == "PEM"
+    assert "ROOT" in sec["kafka.ssl.truststore.certificates"]
+    assert "INTERPEM" in sec["kafka.ssl.truststore.certificates"]
+    assert sec["kafka.ssl.protocol"] == "TLSv1.2"
+
+    # merged into the source options
+    opts = kafka_change_log_options("b:9093", "cdc", security=sec)
+    assert opts["kafka.bootstrap.servers"] == "b:9093" and opts["kafka.security.protocol"] == "SASL_SSL"
+
+    # the reference's refusal: secure with an empty cert pool
+    import pytest
+
+    with pytest.raises(ValueError, match="certPool is empty"):
+        kafka_transport_security_options("u", "p")
+
+    # config-block plumbing (reference camelCase field names)
+    cfg = PipelineConfig.from_yaml(
+        "base_dir: /b\nsource_dir: /s\nsecurity:\n  secureConnection: true\n"
+        f"  scramUsername: u\n  scramPassword: p\n  rootCAPath: {ca}\n"
+    )
+    assert cfg.kafka_security_options()["kafka.sasl.mechanism"] == "SCRAM-SHA-512"
+    insecure = PipelineConfig.from_yaml("base_dir: /b\nsource_dir: /s\n")
+    assert insecure.kafka_security_options() == {}
