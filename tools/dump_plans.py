@@ -189,6 +189,19 @@ def main() -> None:
         "scan (r5 verdict item 1).",
     )
 
+    tbl.merge_mor(
+        spark.createDataFrame([(9, "d9")], ["k", "v"]), None, epoch_id="p2", n_updates=1
+    )
+    cap(
+        "Appended-delta read_changes fast path (the per-epoch consumer poll)",
+        tbl.read_changes(tbl.version() - 1),
+        "Only MOR deltas landed since from_version, so the change set is "
+        "computed from the DELTA FILES alone (LWW winners across appended "
+        "epochs); old values are probed bucket-pruned with a broadcast "
+        "semi-join + point-poll IN pushdown — O(delta) + matching row "
+        "groups, no bucket-state resolve on either side (r5).",
+    )
+
     out = (
         "# PLANS — physical plans of the core operators (captured from .explain)\n\n"
         "Regenerate: `python tools/dump_plans.py` (this file).\n\n" + "\n".join(sections)
