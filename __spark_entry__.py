@@ -328,6 +328,49 @@ def q_cdc_rename_column(spark, sf_dir):
     return t.read().select("k", "val", "n")
 
 
+def q_cdc_ivm_agg(spark, sf_dir):
+    """Incremental view maintenance (operators/ivm.py): a downstream
+    per-group aggregate (row count + SUM(n), grouped by the payload's first
+    character — updates MIGRATE rows between groups) is maintained from
+    ``read_changes(include_old=True)`` before/after images instead of being
+    recomputed: retract-from-old-group + apply-to-new-group contributions,
+    ONE map-side-combined shuffle, pruned read_keys probe, keyed merge —
+    O(changed) end-to-end. The returned table was built INCREMENTALLY; the
+    oracle recomputes the aggregate from scratch over the folded final
+    state, so a hash match proves the maintenance arithmetic."""
+    from go_dcp_kafka_spark.gen import materialize_changes_fixture
+    from go_dcp_kafka_spark.operators.ivm import maintain_agg
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    path = materialize_changes_fixture()
+    base = spark.read.parquet(f"{path}/part-0.parquet").select(
+        "k", F.substring("v", 1, 1).alias("g"), "v", "n"
+    )
+    ops = spark.read.parquet(f"{path}/part-1.parquet")
+    t = SnapshotTable(spark, _scratch_table_dir(path, "ivm_base"), ("k",), num_buckets=8)
+    t.overwrite(base, epoch_id="i0")
+    a = SnapshotTable(spark, _scratch_table_dir(path, "ivm_agg"), ("g",), num_buckets=2)
+    a.overwrite(
+        t.read().groupBy("g").agg(
+            F.count("*").cast("long").alias("n_rows"), F.sum("n").cast("long").alias("sum_n")
+        ),
+        epoch_id="a0",
+    )
+    v1 = t.version()
+    t.merge_mor(
+        ops.filter(F.col("op") == "mutation").select(
+            "k", F.substring("v", 1, 1).alias("g"), "v", "n"
+        ),
+        ops.filter(F.col("op") == "deletion").select("k"),
+        epoch_id="i1",
+        n_updates=ops.count(),
+    )
+    maintain_agg(t, a, v1, ["g"], ["n"], epoch_id="ivm1")
+    return a.read().select(
+        "g", F.col("n_rows").cast("long").alias("n_rows"), F.col("sum_n").cast("long").alias("sum_n")
+    )
+
+
 def q_cdc_assemble_convs(spark, sf_dir):
     """Transcript payload -> training documents: fold the flagship change
     log, then assemble ONE document per conversation (turns in stable
@@ -889,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_type_widening": q_cdc_type_widening,
         "cdc_read_changes": q_cdc_read_changes,
         "cdc_rename_column": q_cdc_rename_column,
+        "cdc_ivm_agg": q_cdc_ivm_agg,
         "cdc_assemble_convs": q_cdc_assemble_convs,
         "cdc_sft_pairs": q_cdc_sft_pairs,
         "sort_topk": q_sort_topk,
@@ -1224,6 +1268,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM old o FULL OUTER JOIN new n2 ON o.k = n2.k
             )
             SELECT k, v, n, _change FROM diff WHERE _change IS NOT NULL
+        """,
+        "cdc_ivm_agg": f"""
+            WITH old AS (
+                SELECT k, v, n FROM read_parquet('{materialize_changes_fixture()}/part-0.parquet')
+            ),
+            ops AS (
+                SELECT k, op, v, n FROM read_parquet('{materialize_changes_fixture()}/part-1.parquet')
+            ),
+            new AS (
+                SELECT o.k, o.v, o.n FROM old o WHERE o.k NOT IN (SELECT k FROM ops)
+                UNION ALL
+                SELECT k, v, n FROM ops WHERE op = 'mutation'
+            )
+            SELECT substring(v, 1, 1) AS g,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n) AS BIGINT) AS sum_n
+            FROM new GROUP BY 1
         """,
         "cdc_rename_column": f"""
             WITH old AS (

@@ -107,6 +107,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_target = int(os.environ.get("BENCH_EVENTS", "2000000"))
     skip_queries = os.environ.get("BENCH_SKIP_QUERIES", "0") == "1"
+    # BENCH_MODES: comma-subset of {batch,cow,mor} (default all) — lets a
+    # scaling A/B time ONE mode per JVM so the modes can be interleaved
+    # across parallelism levels without paying for the other two each rep
+    modes = {m.strip() for m in os.environ.get("BENCH_MODES", "batch,cow,mor").split(",") if m.strip()}
 
     spark = get_spark(
         "bench",
@@ -152,20 +156,22 @@ def main() -> None:
 
         n_buckets = max(cpus, 8)  # == shuffle partitions: bucket-aligned write
         batch_secs, batch_cpus = [], []
-        for i in range(3):
-            c0, t0 = _jvm_cpu_sec(), time.time()
-            pipe = CdcPipeline(
-                spark, os.path.join(work, f"tbl_batch{i}"), num_buckets=n_buckets, run_id="bench"
-            )
-            events = read_change_log(spark, log_dir)
-            final = fold_change_events(events, normalize_text=normalize_text_col("text"))
-            pipe.tables["transcripts"].overwrite(final, epoch_id="bench-batch", aligned=True)
-            batch_secs.append(time.time() - t0)
-            batch_cpus.append(_jvm_cpu_sec() - c0)
-        # the LAST rep: JIT-settled (C2 compiler threads burn CPU in early
-        # reps and would pollute the work accounting), steady-state wall
-        batch_sec, batch_cpu = batch_secs[-1], batch_cpus[-1]
-        n_rows = pipe.read_table().count()
+        batch_sec = batch_cpu = n_rows = None
+        if "batch" in modes:
+            for i in range(3):
+                c0, t0 = _jvm_cpu_sec(), time.time()
+                pipe = CdcPipeline(
+                    spark, os.path.join(work, f"tbl_batch{i}"), num_buckets=n_buckets, run_id="bench"
+                )
+                events = read_change_log(spark, log_dir)
+                final = fold_change_events(events, normalize_text=normalize_text_col("text"))
+                pipe.tables["transcripts"].overwrite(final, epoch_id="bench-batch", aligned=True)
+                batch_secs.append(time.time() - t0)
+                batch_cpus.append(_jvm_cpu_sec() - c0)
+            # the LAST rep: JIT-settled (C2 compiler threads burn CPU in early
+            # reps and would pollute the work accounting), steady-state wall
+            batch_sec, batch_cpu = batch_secs[-1], batch_cpus[-1]
+            n_rows = pipe.read_table().count()
 
         # warm the streaming epoch plan shapes (codegen) on a 2-file slice
         warm_src = os.path.join(work, "warmlog")
@@ -174,6 +180,8 @@ def main() -> None:
             if f.endswith(".parquet"):
                 shutil.copy2(os.path.join(log_dir, f), warm_src)
         for wmode in ("cow", "mor"):
+            if wmode not in modes:
+                continue
             wpipe = CdcPipeline(
                 spark, os.path.join(work, f"tbl_warm_{wmode}"), num_buckets=n_buckets,
                 run_id=f"warm-{wmode}", merge_mode=wmode,
@@ -183,23 +191,26 @@ def main() -> None:
         # ---- streaming replay, copy-on-write merges ------------------------
         # (explicit cow: the pipeline's streaming DEFAULT is mor; this row
         # measures the read-optimized mode on purpose)
-        t0 = time.time()
-        spipe = CdcPipeline(
-            spark, os.path.join(work, "tbl_stream"), num_buckets=n_buckets,
-            run_id="bench-s", merge_mode="cow",
-        )
-        spipe.run_stream(log_dir, os.path.join(work, "ckpt"), max_files_per_trigger=32)
-        stream_sec = time.time() - t0
+        stream_sec = stream_mor_sec = None
+        if "cow" in modes:
+            t0 = time.time()
+            spipe = CdcPipeline(
+                spark, os.path.join(work, "tbl_stream"), num_buckets=n_buckets,
+                run_id="bench-s", merge_mode="cow",
+            )
+            spipe.run_stream(log_dir, os.path.join(work, "ckpt"), max_files_per_trigger=32)
+            stream_sec = time.time() - t0
 
         # ---- streaming replay, merge-on-read (the frequent-epoch path) ----
-        t0 = time.time()
-        mpipe = CdcPipeline(
-            spark, os.path.join(work, "tbl_mor"), num_buckets=n_buckets,
-            run_id="bench-m", merge_mode="mor",
-        )
-        mpipe.run_stream(log_dir, os.path.join(work, "ckpt_m"), max_files_per_trigger=32)
-        mpipe.tables["transcripts"].compact()
-        stream_mor_sec = time.time() - t0
+        if "mor" in modes:
+            t0 = time.time()
+            mpipe = CdcPipeline(
+                spark, os.path.join(work, "tbl_mor"), num_buckets=n_buckets,
+                run_id="bench-m", merge_mode="mor",
+            )
+            mpipe.run_stream(log_dir, os.path.join(work, "ckpt_m"), max_files_per_trigger=32)
+            mpipe.tables["transcripts"].compact()
+            stream_mor_sec = time.time() - t0
 
         queries_sec: dict[str, float] = {}
         if not skip_queries:
@@ -210,27 +221,35 @@ def main() -> None:
                 fn(spark, sf_dir).collect()
                 queries_sec[name] = round(time.time() - t0, 3)
 
+        cdc: dict = {"n_events": n_events, "cpus": cpus}
+        if batch_sec is not None:
+            cdc.update(
+                final_rows=n_rows,
+                batch_replay_secs_raw=[round(s, 3) for s in batch_secs],
+                batch_replay_sec=round(batch_sec, 3),
+                batch_events_per_sec=round(n_events / batch_sec),
+                batch_jvm_cpu_sec=round(batch_cpu, 1),
+                batch_core_utilization=round(batch_cpu / batch_sec / cpus, 3),
+            )
+        if stream_sec is not None:
+            cdc.update(
+                stream_replay_sec=round(stream_sec, 3),
+                stream_events_per_sec=round(n_events / stream_sec),
+            )
+        if stream_mor_sec is not None:
+            cdc.update(
+                stream_mor_replay_sec=round(stream_mor_sec, 3),
+                stream_mor_events_per_sec=round(n_events / stream_mor_sec),
+            )
+        headline = next(s for s in (batch_sec, stream_mor_sec, stream_sec) if s is not None)
         out = {
             "metric": "cdc_batch_replay_wall_sec",
-            "value": round(batch_sec, 3),
+            "value": round(headline, 3),
             "unit": "sec",
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             "queries": queries_sec,
             "calibration": cal,
-            "cdc": {
-                "n_events": n_events,
-                "final_rows": n_rows,
-                "batch_replay_secs_raw": [round(s, 3) for s in batch_secs],
-                "batch_replay_sec": round(batch_sec, 3),
-                "batch_events_per_sec": round(n_events / batch_sec),
-                "batch_jvm_cpu_sec": round(batch_cpu, 1),
-                "batch_core_utilization": round(batch_cpu / batch_sec / cpus, 3),
-                "stream_replay_sec": round(stream_sec, 3),
-                "stream_events_per_sec": round(n_events / stream_sec),
-                "stream_mor_replay_sec": round(stream_mor_sec, 3),
-                "stream_mor_events_per_sec": round(n_events / stream_mor_sec),
-                "cpus": cpus,
-            },
+            "cdc": cdc,
         }
         print(json.dumps(out))
     finally:

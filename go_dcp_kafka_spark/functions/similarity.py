@@ -384,6 +384,10 @@ def update_ivf(
         emptied.append(None)
     (
         out.repartition(F.col("cell"))
+        # preserve materialize_ivf's id-sorted row-group layout: without
+        # this the first incremental update breaks the stats-skipping that
+        # this function's own IN pushdown (and read-side id probes) rely on
+        .sortWithinPartitions(id_col)
         .write.option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell")
         .mode("overwrite")

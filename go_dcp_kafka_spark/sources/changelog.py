@@ -151,9 +151,14 @@ def kafka_transport_security_options(
         raise ValueError(
             "certPool is empty: provide at least one CA (path or inline PEM)"
         )
+    # JAAS values are double-quoted: escape backslash and quote so a
+    # password containing either cannot truncate or extend the config line
+    def _jq(v: str) -> str:
+        return v.replace("\\", "\\\\").replace('"', '\\"')
+
     jaas = (
         "org.apache.kafka.common.security.scram.ScramLoginModule required "
-        f'username="{scram_username}" password="{scram_password}";'
+        f'username="{_jq(scram_username)}" password="{_jq(scram_password)}";'
     )
     return {
         "kafka.security.protocol": "SASL_SSL",

@@ -1135,7 +1135,12 @@ class SnapshotTable:
         return out or None
 
     def _read_changes_appended(
-        self, old_m: dict, new_m: dict, appended: list[tuple[int, dict[int, str]]], from_version: int
+        self,
+        old_m: dict,
+        new_m: dict,
+        appended: list[tuple[int, dict[int, str]]],
+        from_version: int,
+        include_old: bool = False,
     ) -> DataFrame:
         """Appended-delta fast path for ``read_changes``: the change set IS
         the appended deltas' rows. Read ONLY the delta files (O(delta), not
@@ -1203,15 +1208,26 @@ class SnapshotTable:
             .when(F.col("_old").isNull(), F.lit("insert"))
             .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
         )
-        return (
-            j.withColumn("_change", change)
-            .filter(F.col("_change").isNotNull())
-            .select(
-                *self.key_cols,
-                *[F.col(f"_new.{c}").alias(c) for c in payload],
-                "_change",
+        out_cols = [
+            *self.key_cols,
+            *[F.col(f"_new.{c}").alias(c) for c in payload],
+            F.col("_change"),
+        ]
+        if include_old:
+            # before-image = keys (immutable per row, so the row's own key
+            # cols ARE the old keys — a retraction consumer may group/sum by
+            # them) + old payload; null for inserts. Built at output so the
+            # _old-vs-_new change classification above stays payload-shaped.
+            out_cols.append(
+                F.when(
+                    F.col("_old").isNotNull(),
+                    F.struct(
+                        *[F.col(k) for k in self.key_cols],
+                        *[F.col(f"_old.{c}").alias(c) for c in payload],
+                    ),
+                ).alias("_before")
             )
-        )
+        return j.withColumn("_change", change).filter(F.col("_change").isNotNull()).select(*out_cols)
 
     def _epoch_to_version(self, epoch_id: str) -> int:
         m = self._load_manifest()
@@ -1230,6 +1246,7 @@ class SnapshotTable:
         to_version: int | None = None,
         from_epoch: str | None = None,
         to_epoch: str | None = None,
+        include_old: bool = False,
     ) -> DataFrame:
         """Incremental (changelog) read: the NET row-level changes between
         two retained snapshots — the Iceberg incremental-scan / CDC-feed
@@ -1260,7 +1277,15 @@ class SnapshotTable:
 
         Snapshots address by ``from_version``/``to_version`` OR by committed
         epoch id (``from_epoch``/``to_epoch`` — the CDC-consumer-friendly
-        handle: 'what changed since the epoch I last processed')."""
+        handle: 'what changed since the epoch I last processed').
+
+        ``include_old=True`` additionally emits ``_before``: the row's
+        keys + payload as of ``from_version`` as a struct (null for
+        inserts) — the
+        Debezium-style before-image. Both diff paths already compute it to
+        classify changes; exposing it is free and it is what downstream
+        retraction-based consumers (incremental aggregate maintenance,
+        operators/ivm.py) need to subtract a row's old contribution."""
         if from_epoch is not None:
             from_version = self._epoch_to_version(from_epoch)
         if to_epoch is not None:
@@ -1275,7 +1300,9 @@ class SnapshotTable:
         # (O(delta) + matching row groups, not O(touched buckets) twice)
         appended = self._appended_delta_entries(old_m, new_m)
         if appended is not None:
-            return self._read_changes_appended(old_m, new_m, appended, from_version)
+            return self._read_changes_appended(
+                old_m, new_m, appended, from_version, include_old=include_old
+            )
         changed = self._changed_buckets(old_m, new_m)
         if changed is None:
             # rebucketed between snapshots: bucket ids are not comparable
@@ -1310,15 +1337,26 @@ class SnapshotTable:
             .when(F.col("_new").isNull(), F.lit("delete"))
             .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
         )
-        return (
-            j.withColumn("_change", change)
-            .filter(F.col("_change").isNotNull())
-            .select(
-                *self.key_cols,
-                *[F.col(f"_new.{c}").alias(c) for c in payload],
-                "_change",
+        out_cols = [
+            *self.key_cols,
+            *[F.col(f"_new.{c}").alias(c) for c in payload],
+            F.col("_change"),
+        ]
+        if include_old:
+            # before-image = keys (immutable per row, so the row's own key
+            # cols ARE the old keys — a retraction consumer may group/sum by
+            # them) + old payload; null for inserts. Built at output so the
+            # _old-vs-_new change classification above stays payload-shaped.
+            out_cols.append(
+                F.when(
+                    F.col("_old").isNotNull(),
+                    F.struct(
+                        *[F.col(k) for k in self.key_cols],
+                        *[F.col(f"_old.{c}").alias(c) for c in payload],
+                    ),
+                ).alias("_before")
             )
-        )
+        return j.withColumn("_change", change).filter(F.col("_change").isNotNull()).select(*out_cols)
 
     @_locked
     def rename_column(self, old: str, new: str) -> dict[str, Any]:

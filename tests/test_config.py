@@ -136,6 +136,11 @@ def test_transport_security_mapping(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="certPool is empty"):
         kafka_transport_security_options("u", "p")
 
+    # JAAS escaping: a quote/backslash in the password cannot truncate or
+    # extend the config line
+    sec2 = kafka_transport_security_options('u"x\\y', 'p"w', inter_ca="PEM")
+    assert 'username="u\\"x\\\\y" password="p\\"w";' in sec2["kafka.sasl.jaas.config"]
+
     # config-block plumbing (reference camelCase field names)
     cfg = PipelineConfig.from_yaml(
         "base_dir: /b\nsource_dir: /s\nsecurity:\n  secureConnection: true\n"

@@ -1,0 +1,210 @@
+"""Incremental view maintenance over the changelog (operators/ivm.py) +
+the read_changes before-image option it consumes.
+
+Scale contract under test: maintaining a downstream aggregate costs
+O(changed rows + changed groups) — changelog read, ONE map-side-combinable
+delta shuffle, pruned probe, keyed merge — and the maintained table always
+equals a from-scratch GROUP BY over the base table's current state (the
+reference's consumers apply only the appended log segment,
+/root/reference/kafka/client.go:220-233; this is that cost model for
+aggregates)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from go_dcp_kafka_spark.operators.ivm import agg_deltas, apply_agg_deltas, maintain_agg
+from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+
+def _base(spark, tmp_path, name="base"):
+    t = SnapshotTable(spark, str(tmp_path / name), ("k",), num_buckets=4)
+    rows = [(i, f"g{i % 3}", i * 10, f"t{i}") for i in range(60)]
+    t.overwrite(spark.createDataFrame(rows, ["k", "g", "x", "txt"]), epoch_id="b0")
+    return t
+
+
+def _agg(spark, tmp_path, base, name="agg"):
+    a = SnapshotTable(spark, str(tmp_path / name), ("g",), num_buckets=2)
+    init = base.read().groupBy("g").agg(
+        F.count("*").alias("n_rows"), F.coalesce(F.sum("x"), F.lit(0)).alias("sum_x")
+    )
+    a.overwrite(init, epoch_id="a0")
+    return a
+
+
+def _recompute(base):
+    return {
+        (r["g"]): (r["n"], r["s"])
+        for r in base.read()
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.coalesce(F.sum("x"), F.lit(0)).alias("s"))
+        .collect()
+    }
+
+
+def _maintained(agg):
+    return {r["g"]: (r["n_rows"], r["sum_x"]) for r in agg.read().collect()}
+
+
+def test_read_changes_before_image_both_paths(spark, tmp_path):
+    """include_old=True emits the _before payload struct on BOTH diff paths:
+    appended-MOR fast path and the generic (COW) manifest-pruned diff."""
+    t = _base(spark, tmp_path)
+    v1 = t.version()
+    # MOR epoch => appended-delta fast path
+    t.merge_mor(
+        spark.createDataFrame([(1, "g9", 999, "upd")], ["k", "g", "x", "txt"]),
+        spark.createDataFrame([(2,)], ["k"]),
+        epoch_id="m1",
+        n_updates=2,
+    )
+    ch = {r["k"]: r for r in t.read_changes(v1, include_old=True).collect()}
+    assert ch[1]["_change"] == "update" and ch[1]["_before"]["x"] == 10
+    assert ch[1]["_before"]["g"] == "g1" and ch[1]["g"] == "g9"
+    assert ch[2]["_change"] == "delete" and ch[2]["_before"]["x"] == 20
+    # COW epoch => generic path (compacts the delta first => bucket dirs move)
+    v2 = t.version()
+    t.merge(
+        spark.createDataFrame([(100, "g0", 5, "ins"), (3, "g0", 31, "t3")], ["k", "g", "x", "txt"]),
+        None,
+        epoch_id="c1",
+        n_updates=2,
+    )
+    ch2 = {r["k"]: r for r in t.read_changes(v2, include_old=True).collect()}
+    assert ch2[100]["_change"] == "insert" and ch2[100]["_before"] is None
+    assert ch2[3]["_change"] == "update" and ch2[3]["_before"]["x"] == 30
+    # default shape unchanged: no _before column without the flag
+    assert "_before" not in t.read_changes(v2).columns
+
+
+def test_ivm_matches_recompute_across_epochs(spark, tmp_path):
+    """Inserts, value updates, group-migrating updates, no-op rewrites, and
+    group-emptying deletes across 3 epochs: the incrementally-maintained
+    aggregate equals a from-scratch GROUP BY after every epoch."""
+    base = _base(spark, tmp_path)
+    agg = _agg(spark, tmp_path, base)
+    assert _maintained(agg) == _recompute(base)
+
+    epochs = [
+        # (upserts, delete_keys): migrations (g changes), value-only, no-op
+        (
+            [(0, "g2", 1000, "mig"), (3, "g0", 999, "val"), (6, "g0", 60, "t6")],
+            [9, 12],
+        ),
+        # inserts into a NEW group + more deletes
+        (
+            [(200, "gNEW", 7, "ins"), (201, "gNEW", 8, "ins"), (15, "g1", -1, "mig2")],
+            [18, 21, 24],
+        ),
+        # empty group gNEW entirely; touch g2
+        (
+            [(27, "g2", 270, "t27")],
+            [200, 201],
+        ),
+    ]
+    for i, (ups, dels) in enumerate(epochs):
+        v = base.version()
+        mode = base.merge_mor if i % 2 == 0 else base.merge  # both diff paths
+        mode(
+            spark.createDataFrame(ups, ["k", "g", "x", "txt"]),
+            spark.createDataFrame([(d,) for d in dels], ["k"]),
+            epoch_id=f"e{i}",
+            n_updates=len(ups) + len(dels),
+        )
+        maintain_agg(base, agg, v, ["g"], ["x"], epoch_id=f"ivm{i}")
+        assert _maintained(agg) == _recompute(base), f"diverged after epoch {i}"
+    # the emptied group has NO row, like a from-scratch GROUP BY
+    assert "gNEW" not in _maintained(agg)
+
+
+def test_ivm_idempotent_epoch_replay(spark, tmp_path):
+    """Re-applying the same maintenance epoch (crash-redelivery) is a no-op:
+    the keyed merge's epoch idempotence carries over to IVM."""
+    base = _base(spark, tmp_path)
+    agg = _agg(spark, tmp_path, base)
+    v = base.version()
+    base.merge_mor(
+        spark.createDataFrame([(1, "g2", 111, "u")], ["k", "g", "x", "txt"]),
+        None,
+        epoch_id="e1",
+        n_updates=1,
+    )
+    maintain_agg(base, agg, v, ["g"], ["x"], epoch_id="ivm-replay")
+    once = _maintained(agg)
+    res = maintain_agg(base, agg, v, ["g"], ["x"], epoch_id="ivm-replay")
+    assert res.get("skipped")
+    assert _maintained(agg) == once == _recompute(base)
+
+
+def test_agg_deltas_null_sum_semantics(spark):
+    """SQL SUM semantics: a null value contributes nothing; a group whose
+    delta rows are all-null still reports a 0 sum delta (not null)."""
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "b"],
+            "x": pd.array([None, 5, None], dtype="Int64"),
+            "_change": ["insert", "insert", "insert"],
+        }
+    )
+    ch = spark.createDataFrame(pdf).withColumn(
+        "_before", F.lit(None).cast("struct<g:string,x:long>")
+    )
+    out = {r["g"]: r for r in agg_deltas(ch, ["g"], ["x"]).collect()}
+    assert out["a"]["_d_count"] == 2 and out["a"]["_d_x"] == 5
+    assert out["b"]["_d_count"] == 1 and out["b"]["_d_x"] == 0
+
+
+def test_agg_deltas_plan_is_partial_agg(spark):
+    """Scale pin: the delta shuffle gets map-side combine (partial agg on
+    the group key), never a per-group window sort — a Zipf-hot group's
+    contributions combine locally."""
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 50 + ["b"] * 10, "x": range(60), "_change": ["insert"] * 60}
+    )
+    ch = spark.createDataFrame(pdf).withColumn(
+        "_before", F.lit(None).cast("struct<g:string,x:bigint>")
+    )
+    d = agg_deltas(ch, ["g"], ["x"])
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower()
+    assert "Window" not in plan
+
+
+def test_apply_deltas_reads_only_probed_buckets(spark, tmp_path):
+    """apply_agg_deltas probes the aggregate table via read_keys: a delta
+    touching one group must not scan every aggregate bucket's files."""
+    base = _base(spark, tmp_path)
+    # many groups so buckets are populated
+    rows = [(1000 + i, f"h{i}", i, "t") for i in range(64)]
+    base.merge(
+        spark.createDataFrame(rows, ["k", "g", "x", "txt"]), None, epoch_id="wide", n_updates=64
+    )
+    agg = SnapshotTable(spark, str(tmp_path / "agg2"), ("g",), num_buckets=8)
+    agg.overwrite(
+        base.read().groupBy("g").agg(
+            F.count("*").alias("n_rows"), F.coalesce(F.sum("x"), F.lit(0)).alias("sum_x")
+        ),
+        epoch_id="a0",
+    )
+    v = base.version()
+    base.merge_mor(
+        spark.createDataFrame([(1000, "h0", 555, "u")], ["k", "g", "x", "txt"]),
+        None,
+        epoch_id="one",
+        n_updates=1,
+    )
+    d = agg_deltas(base.read_changes(v, include_old=True), ["g"], ["x"]).localCheckpoint(
+        eager=True
+    )
+    from tests.test_plans import _walk_metric_sum
+
+    probed = agg.read_keys(d.select("g"))
+    # collect THIS df so its executed plan carries the scan metrics
+    assert len(probed.collect()) == 1  # one changed group -> one existing agg row
+    n_files = _walk_metric_sum(
+        probed._jdf.queryExecution().executedPlan(), "numFiles", "Scan"
+    )
+    assert 0 < n_files <= 2 < 8, f"agg probe scanned {n_files} files for 1 of 8 buckets"
+    res = apply_agg_deltas(agg, d, sum_map={"x": "sum_x"}, epoch_id="ap1")
+    assert len(res["touched_buckets"]) <= 2
+    assert _maintained(agg) == _recompute(base)
