@@ -208,3 +208,58 @@ def test_apply_deltas_reads_only_probed_buckets(spark, tmp_path):
     res = apply_agg_deltas(agg, d, sum_map={"x": "sum_x"}, epoch_id="ap1")
     assert len(res["touched_buckets"]) <= 2
     assert _maintained(agg) == _recompute(base)
+
+
+def test_ivm_consumer_polls_streamed_epochs(spark, tmp_path, log_dir):
+    """End-to-end consumer loop: a streaming replay lands epochs on the
+    transcripts table; a downstream consumer polls ``read_changes`` by
+    VERSION after each epoch (the reference's consumer-group tail,
+    kafka/client.go:220-233) and maintains a per-role aggregate via IVM.
+    After the stream drains, the maintained view equals a from-scratch
+    GROUP BY over the final table."""
+    from go_dcp_kafka_spark.streaming.runner import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "p"), run_id="ivmstream")
+    polled_versions = []
+
+    def on_epoch(stats):
+        polled_versions.append(pipe.tables["transcripts"].version())
+
+    pipe.on_epoch_complete = on_epoch
+    pipe.run_stream(log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    t = pipe.tables["transcripts"]
+    assert len(polled_versions) >= 2, "need multiple epochs to exercise the poll loop"
+
+    agg = SnapshotTable(spark, str(tmp_path / "view"), ("role",), num_buckets=2)
+    # consumer starts from the FIRST epoch's snapshot...
+    v0 = polled_versions[0]
+    agg.overwrite(
+        t.read(t._manifest_at(v0)).groupBy("role").agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.sum("turn_idx"), F.lit(0)).alias("sum_turn_idx"),
+        ),
+        epoch_id="view-init",
+    )
+    # ...then replays each subsequent committed snapshot incrementally
+    for i, v in enumerate(polled_versions[1:]):
+        prev = polled_versions[i]
+        if v == prev:
+            continue
+        ch = t.read_changes(from_version=prev, to_version=v, include_old=True)
+        from go_dcp_kafka_spark.operators.ivm import apply_agg_deltas
+
+        apply_agg_deltas(
+            agg,
+            agg_deltas(ch, ["role"], ["turn_idx"]),
+            sum_map={"turn_idx": "sum_turn_idx"},
+            epoch_id=f"view-{v}",
+        )
+    got = {r["role"]: (r["n_rows"], r["sum_turn_idx"]) for r in agg.read().collect()}
+    want = {
+        r["role"]: (r["n"], r["s"])
+        for r in t.read()
+        .groupBy("role")
+        .agg(F.count("*").alias("n"), F.coalesce(F.sum("turn_idx"), F.lit(0)).alias("s"))
+        .collect()
+    }
+    assert got == want

@@ -202,6 +202,20 @@ def main() -> None:
         "groups, no bucket-state resolve on either side (r5).",
     )
 
+    from go_dcp_kafka_spark.operators.ivm import agg_deltas
+
+    cap(
+        "IVM group-delta aggregation (before/after retraction)",
+        agg_deltas(tbl.read_changes(v1, include_old=True), ["v"], ["k"]),
+        "Each change explodes into at most two contribution rows (retract "
+        "from the before-image's group, apply to the after group), then ONE "
+        "HashAggregate pair (partial map-side + final) on the group key — a "
+        "Zipf-hot group's ±1/±value contributions combine locally; never a "
+        "per-group window sort. Downstream, apply_agg_deltas probes the "
+        "aggregate table with the pruned read_keys path and merges keyed "
+        "(touched buckets only): O(changed) view maintenance.",
+    )
+
     out = (
         "# PLANS — physical plans of the core operators (captured from .explain)\n\n"
         "Regenerate: `python tools/dump_plans.py` (this file).\n\n" + "\n".join(sections)
