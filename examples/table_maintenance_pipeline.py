@@ -50,6 +50,26 @@ def main() -> None:
     print("\nchangelog since v%d by kind:" % v0)
     changes.groupBy("_change").count().show()
 
+    # incremental view maintenance (r5): a downstream per-role aggregate is
+    # MAINTAINED from the changelog's before/after images — O(changed
+    # groups) per poll — instead of re-grouping the whole table
+    from pyspark.sql import functions as F
+
+    from go_dcp_kafka_spark.operators.ivm import maintain_agg
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    view = SnapshotTable(spark, tempfile.mkdtemp(prefix="view_"), ("role",), num_buckets=2)
+    view.overwrite(
+        tbl.read(version=v0).groupBy("role").agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.sum("turn_idx"), F.lit(0)).alias("sum_turn_idx"),
+        ),
+        epoch_id="view-init",
+    )
+    maintain_agg(tbl, view, v0, ["role"], ["turn_idx"])
+    print("\nmaintained per-role view (equals a fresh GROUP BY):")
+    view.read().orderBy("role").show()
+
     # per-bucket compaction (r5): fold only buckets whose outstanding delta
     # bytes reach a floor — on a table with hot buckets, the rewrite covers
     # the hot slice and cold deltas wait until they accumulate
