@@ -24,10 +24,23 @@ sum/count) maintained in a keyed :class:`SnapshotTable`:
    old + delta, groups whose row count reaches zero are deleted, and the
    result lands as a normal keyed ``merge`` (touched buckets only).
 
-MIN/MAX are deliberately out of scope: they are not incrementally
-maintainable under deletion without per-group recompute (retracting the
-current extremum requires the runner-up); a consumer needing them should
-recompute affected groups from ``read_keys`` on the base table.
+MIN/MAX are maintained with the standard BOUNDED-RECOMPUTE rule (they are
+not distributive under deletion — retracting the current extremum requires
+the runner-up, which the aggregate table does not carry):
+
+- Inserts/updates fold incrementally: ``least/greatest(stored, applied)``
+  — skip-null, one expression, no extra IO.
+- A retraction that reaches the stored extremum normally invalidates it —
+  EXCEPT when the epoch's applied values re-establish it (``applied_min <=
+  stored_min`` ⇒ every surviving old row is ``>= stored_min >=
+  applied_min``, so the new min IS ``applied_min`` and no recompute is
+  needed; symmetric for max). Only groups where a retraction hits the
+  extremum AND the applies don't re-establish it are recomputed, via ONE
+  column-pruned, group-filtered scan of the base table (``groupBy
+  min/max`` over just the flagged groups' rows). The flag set is
+  O(changed groups) and empty for append-mostly feeds, so the recompute
+  scan usually never runs — ``apply_agg_deltas`` reports
+  ``recomputed_groups`` so a consumer can watch that cost.
 """
 
 from __future__ import annotations
@@ -44,6 +57,7 @@ def agg_deltas(
     changes: DataFrame,
     group_cols: Sequence[str],
     sum_cols: Sequence[str] = (),
+    minmax_cols: Sequence[str] = (),
     before_col: str = "_before",
     change_col: str = "_change",
 ) -> DataFrame:
@@ -57,15 +71,22 @@ def agg_deltas(
     Returns one row per affected group: ``group_cols`` + ``_d_count``
     (net row-count delta) + ``_d_<c>`` (net SUM(c) delta, SQL null
     semantics: a null value contributes nothing) for each ``c`` in
-    ``sum_cols``. Plan shape: union of two projections -> ONE partial-agg
-    shuffle on the group key.
+    ``sum_cols``, and for each ``c`` in ``minmax_cols`` the epoch's
+    applied/retracted extrema ``_a_min_<c>/_a_max_<c>/_r_min_<c>/_r_max_<c>``
+    (min/max over the after-images resp. before-images — all null-skipping,
+    all map-side combinable). Plan shape: union of two projections -> ONE
+    partial-agg shuffle on the group key regardless of how many aggregates
+    are maintained.
     """
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
+    minmax_cols = list(minmax_cols)
+    # a column may feed both SUM and MIN/MAX — project it once
+    val_cols = list(dict.fromkeys([*sum_cols, *minmax_cols]))
     w = F.col("_w")
     # after-image contribution (+) for rows that exist at to_version
     after = changes.filter(F.col(change_col) != "delete").select(
-        *group_cols, F.lit(1).alias("_w"), *sum_cols
+        *group_cols, F.lit(1).alias("_w"), *val_cols
     )
     # before-image retraction (-) for rows that existed at from_version;
     # its group is the BEFORE group — a group-migrating update retracts
@@ -73,16 +94,21 @@ def agg_deltas(
     before = changes.filter(F.col(change_col) != "insert").select(
         *[F.col(f"{before_col}.{g}").alias(g) for g in group_cols],
         F.lit(-1).alias("_w"),
-        *[F.col(f"{before_col}.{c}").alias(c) for c in sum_cols],
+        *[F.col(f"{before_col}.{c}").alias(c) for c in val_cols],
     )
-    return (
-        after.unionByName(before)
-        .groupBy(*group_cols)
-        .agg(
-            F.sum(w).cast("long").alias("_d_count"),
-            *[F.coalesce(F.sum(F.col(c) * w), F.lit(0)).alias(f"_d_{c}") for c in sum_cols],
-        )
-    )
+    aggs = [
+        F.sum(w).cast("long").alias("_d_count"),
+        *[F.coalesce(F.sum(F.col(c) * w), F.lit(0)).alias(f"_d_{c}") for c in sum_cols],
+    ]
+    for c in minmax_cols:
+        applied, retracted = F.when(w == 1, F.col(c)), F.when(w == -1, F.col(c))
+        aggs += [
+            F.min(applied).alias(f"_a_min_{c}"),
+            F.max(applied).alias(f"_a_max_{c}"),
+            F.min(retracted).alias(f"_r_min_{c}"),
+            F.max(retracted).alias(f"_r_max_{c}"),
+        ]
+    return after.unionByName(before).groupBy(*group_cols).agg(*aggs)
 
 
 def apply_agg_deltas(
@@ -90,19 +116,32 @@ def apply_agg_deltas(
     deltas: DataFrame,
     count_col: str = "n_rows",
     sum_map: dict[str, str] | None = None,
+    min_map: dict[str, str] | None = None,
+    max_map: dict[str, str] | None = None,
+    base_table=None,
     epoch_id: str = "ivm-0",
 ) -> dict:
     """Fold :func:`agg_deltas` output into an aggregate ``SnapshotTable``
     keyed by the group columns.
 
-    ``count_col``: the table's COUNT(*) column; ``sum_map``: base column ->
-    aggregate-table column (e.g. ``{'n': 'sum_n'}``). Existing group rows
-    come from the pruned ``read_keys`` probe; groups whose new count is 0
-    are deleted (an aggregate table never holds empty groups — matching a
-    from-scratch GROUP BY, which has no row for them). Idempotent per
-    ``epoch_id`` like any other merge.
+    ``count_col``: the table's COUNT(*) column; ``sum_map``/``min_map``/
+    ``max_map``: base column -> aggregate-table column (e.g. ``{'n':
+    'sum_n'}``). Existing group rows come from the pruned ``read_keys``
+    probe; groups whose new count is 0 are deleted (an aggregate table
+    never holds empty groups — matching a from-scratch GROUP BY, which has
+    no row for them). Idempotent per ``epoch_id`` like any other merge.
+
+    MIN/MAX fold incrementally except for groups where a retraction reaches
+    the stored extremum AND the epoch's applies don't re-establish it (see
+    module docstring); those are recomputed with one column-pruned scan of
+    ``base_table`` filtered to the flagged groups. Returns the merge stats
+    plus ``recomputed_groups`` (0 on the pure-incremental path).
     """
     sum_map = dict(sum_map or {})
+    min_map = dict(min_map or {})
+    max_map = dict(max_map or {})
+    if (min_map or max_map) and base_table is None:
+        raise ValueError("min_map/max_map require base_table for the bounded recompute path")
     gcols = list(agg_table.key_cols)
     # O(changed groups) rows: materialize once so the read_keys probe, the
     # join, and the merge's own passes don't re-run the changelog diff +
@@ -119,10 +158,64 @@ def apply_agg_deltas(
         (F.coalesce(F.col(agg_c), F.lit(0)) + F.col(f"_d_{base_c}")).alias(agg_c)
         for base_c, agg_c in sum_map.items()
     ]
-    updated = j.select(*gcols, new_count.alias(count_col), *new_sums)
+    new_minmax, need_rc = [], []
+    for base_c, agg_c, lo in [(b, a, True) for b, a in min_map.items()] + [
+        (b, a, False) for b, a in max_map.items()
+    ]:
+        stored = F.col(agg_c)
+        a = F.col(f"_a_min_{base_c}" if lo else f"_a_max_{base_c}")
+        r = F.col(f"_r_min_{base_c}" if lo else f"_r_max_{base_c}")
+        # least/greatest skip nulls: a new or all-null group takes the
+        # applied extremum directly
+        new_minmax.append((F.least(stored, a) if lo else F.greatest(stored, a)).alias(agg_c))
+        # a retraction at the stored extremum invalidates it UNLESS the
+        # applies re-establish it (applied_min <= stored_min ⇒ every
+        # surviving old row >= stored_min >= applied_min ⇒ new min is
+        # exactly applied_min, already what least() yields)
+        hit = (r <= stored) if lo else (r >= stored)
+        miss = a.isNull() | ((a > stored) if lo else (a < stored))
+        need_rc.append(stored.isNotNull() & r.isNotNull() & hit & miss)
+    rc_flag = F.lit(False)
+    for n in need_rc:
+        rc_flag = rc_flag | n
+    updated = j.select(
+        *gcols, new_count.alias(count_col), *new_sums, *new_minmax, rc_flag.alias("_rc")
+    )
+    recomputed = 0
+    if min_map or max_map:
+        # O(changed groups) rows — pin them so the flag collect, the
+        # recompute join, and the merge share one evaluation
+        updated = updated.localCheckpoint(eager=True)
+        flagged = updated.filter(F.col("_rc") & (F.col(count_col) > 0)).select(*gcols)
+        recomputed = flagged.count()
+        if recomputed:
+            # ground-truth extrema for just the flagged groups: ONE
+            # column-pruned scan of the base table, group-filtered by a
+            # broadcast semi-join (O(flagged groups' rows) after the scan;
+            # the scan itself reads only the group + value columns)
+            base_vals = list(dict.fromkeys([*min_map, *max_map]))
+            rc = (
+                base_table.read()
+                .select(*gcols, *base_vals)
+                .join(F.broadcast(flagged), on=gcols, how="left_semi")
+                .groupBy(*gcols)
+                .agg(
+                    *[F.min(b).alias(f"_rc_{a}") for b, a in min_map.items()],
+                    *[F.max(b).alias(f"_rc_{a}") for b, a in max_map.items()],
+                )
+            )
+            take_rc = [
+                F.when(F.col("_rc"), F.col(f"_rc_{a}")).otherwise(F.col(a)).alias(a)
+                for a in [*min_map.values(), *max_map.values()]
+            ]
+            keep = [c for c in updated.columns if c not in {*min_map.values(), *max_map.values()}]
+            updated = updated.join(F.broadcast(rc), on=gcols, how="left").select(*keep, *take_rc)
+    updated = updated.drop("_rc")
     upserts = updated.filter(F.col(count_col) > 0)
     deletes = updated.filter(F.col(count_col) <= 0).select(*gcols)
-    return agg_table.merge(upserts, deletes, epoch_id=epoch_id)
+    res = agg_table.merge(upserts, deletes, epoch_id=epoch_id)
+    res["recomputed_groups"] = recomputed
+    return res
 
 
 def maintain_agg(
@@ -131,21 +224,32 @@ def maintain_agg(
     from_version: int,
     group_cols: Sequence[str],
     sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
     count_col: str = "n_rows",
     sum_prefix: str = "sum_",
+    min_prefix: str = "min_",
+    max_prefix: str = "max_",
     epoch_id: str | None = None,
 ) -> dict:
     """One maintenance cycle: apply everything that happened to
     ``base_table`` since ``from_version`` to the aggregate table.
-    Aggregate columns are ``count_col`` + ``{sum_prefix}<c>`` per sum
-    column. Total cost is O(changed): changelog read (manifest-pruned) ->
-    one partial-agg shuffle -> pruned probe + keyed merge."""
+    Aggregate columns are ``count_col`` + ``{sum_prefix}<c>`` /
+    ``{min_prefix}<c>`` / ``{max_prefix}<c>`` per aggregated column. Total
+    cost is O(changed): changelog read (manifest-pruned) -> one partial-agg
+    shuffle -> pruned probe + keyed merge — plus, for MIN/MAX only, the
+    bounded recompute scan on the (rare) epochs that retract a group's
+    stored extremum without re-establishing it."""
     ch = base_table.read_changes(from_version=from_version, include_old=True)
-    d = agg_deltas(ch, group_cols, sum_cols)
+    minmax = list(dict.fromkeys([*min_cols, *max_cols]))
+    d = agg_deltas(ch, group_cols, sum_cols, minmax_cols=minmax)
     return apply_agg_deltas(
         agg_table,
         d,
         count_col=count_col,
         sum_map={c: f"{sum_prefix}{c}" for c in sum_cols},
+        min_map={c: f"{min_prefix}{c}" for c in min_cols},
+        max_map={c: f"{max_prefix}{c}" for c in max_cols},
+        base_table=base_table,
         epoch_id=epoch_id if epoch_id is not None else f"ivm-{base_table.version()}",
     )

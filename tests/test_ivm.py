@@ -263,3 +263,70 @@ def test_ivm_consumer_polls_streamed_epochs(spark, tmp_path, log_dir):
         .collect()
     }
     assert got == want
+
+
+def _mm_scratch(base):
+    return base.read().groupBy("g").agg(
+        F.count("*").alias("n_rows"),
+        F.coalesce(F.sum("x"), F.lit(0)).alias("sum_x"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )
+
+
+def _mm_state(df):
+    return {r["g"]: (r["n_rows"], r["sum_x"], r["min_x"], r["max_x"]) for r in df.collect()}
+
+
+def test_ivm_minmax_bounded_recompute(spark, tmp_path):
+    """MIN/MAX maintenance with the bounded-recompute rule: incremental
+    least/greatest on the fast path, a group-filtered recompute ONLY when a
+    retraction hits the stored extremum without the applies re-establishing
+    it — and the maintained table equals a from-scratch GROUP BY after every
+    epoch. `recomputed_groups` pins exactly which epochs paid the scan."""
+    base = _base(spark, tmp_path, "mmbase")
+    agg = SnapshotTable(spark, str(tmp_path / "mmagg"), ("g",), num_buckets=2)
+    agg.overwrite(_mm_scratch(base), epoch_id="a0")
+    sch = "k long, g string, x long, txt string"
+
+    def cycle(i, ups, dels, mor=True):
+        v = base.version()
+        mode = base.merge_mor if mor else base.merge
+        mode(
+            spark.createDataFrame(ups, sch),
+            spark.createDataFrame([(d,) for d in dels], "k long") if dels else None,
+            epoch_id=f"e{i}",
+            n_updates=len(ups) + len(dels),
+        )
+        res = maintain_agg(
+            base, agg, v, ["g"], ["x"], min_cols=["x"], max_cols=["x"], epoch_id=f"mm{i}"
+        )
+        assert _mm_state(agg.read()) == _mm_state(_mm_scratch(base)), f"diverged after epoch {i}"
+        return res
+
+    # e0: new global max in g0 (incremental greatest), migrate k=5 (g2,x=50)
+    # into g0 (mid-range: neither side's extremum), DELETE g1's min (k=1,
+    # x=10) => exactly one recompute (g1)
+    r = cycle(0, [(100, "g0", 9999, "mx"), (5, "g0", 50, "mig")], [1])
+    assert r["recomputed_groups"] == 1
+    # e1 (COW): retract-and-re-establish g0's min (k=0 x=0 rewritten with
+    # x=0 — applied_min <= stored_min, NO recompute despite the retraction);
+    # duplicate g2's min (x=20) for e2; open an all-null-x group g3
+    r = cycle(
+        1,
+        [(0, "g0", 0, "same"), (200, "g2", 20, "dup"),
+         (300, "g3", None, "n1"), (301, "g3", None, "n2")],
+        [],
+        mor=False,
+    )
+    assert r["recomputed_groups"] == 0
+    # e2: delete ONE of g2's duplicate mins (k=2, x=20) — recompute finds
+    # min unchanged at 20; retract a null from g3 (no flag: null never
+    # holds an extremum)
+    r = cycle(2, [], [2, 300])
+    assert r["recomputed_groups"] == 1
+    # e3: empty g3 entirely — its row disappears like a from-scratch GROUP
+    # BY, no recompute spent on a dying group
+    r = cycle(3, [], [301])
+    assert r["recomputed_groups"] == 0
+    assert "g3" not in _mm_state(agg.read())
