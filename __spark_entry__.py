@@ -330,14 +330,17 @@ def q_cdc_rename_column(spark, sf_dir):
 
 def q_cdc_ivm_agg(spark, sf_dir):
     """Incremental view maintenance (operators/ivm.py): a downstream
-    per-group aggregate (row count + SUM(n), grouped by the payload's first
-    character — updates MIGRATE rows between groups) is maintained from
-    ``read_changes(include_old=True)`` before/after images instead of being
-    recomputed: retract-from-old-group + apply-to-new-group contributions,
-    ONE map-side-combined shuffle, pruned read_keys probe, keyed merge —
-    O(changed) end-to-end. The returned table was built INCREMENTALLY; the
-    oracle recomputes the aggregate from scratch over the folded final
-    state, so a hash match proves the maintenance arithmetic."""
+    per-group aggregate (row count + SUM(n) + MIN/MAX(n), grouped by the
+    payload's first character — updates MIGRATE rows between groups) is
+    maintained from ``read_changes(include_old=True)`` before/after images
+    instead of being recomputed: retract-from-old-group + apply-to-new-group
+    contributions, ONE map-side-combined shuffle, pruned read_keys probe,
+    keyed merge — O(changed) end-to-end. MIN/MAX use the bounded-recompute
+    rule (incremental least/greatest; a group-filtered recompute only when a
+    retraction hits the stored extremum without the applies re-establishing
+    it). The returned table was built INCREMENTALLY; the oracle recomputes
+    the aggregate from scratch over the folded final state, so a hash match
+    proves the maintenance arithmetic on both paths."""
     from go_dcp_kafka_spark.gen import materialize_changes_fixture
     from go_dcp_kafka_spark.operators.ivm import maintain_agg
     from go_dcp_kafka_spark.table.snapshot import SnapshotTable
@@ -352,7 +355,10 @@ def q_cdc_ivm_agg(spark, sf_dir):
     a = SnapshotTable(spark, _scratch_table_dir(path, "ivm_agg"), ("g",), num_buckets=2)
     a.overwrite(
         t.read().groupBy("g").agg(
-            F.count("*").cast("long").alias("n_rows"), F.sum("n").cast("long").alias("sum_n")
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("n").cast("long").alias("sum_n"),
+            F.min("n").cast("long").alias("min_n"),
+            F.max("n").cast("long").alias("max_n"),
         ),
         epoch_id="a0",
     )
@@ -365,9 +371,13 @@ def q_cdc_ivm_agg(spark, sf_dir):
         epoch_id="i1",
         n_updates=ops.count(),
     )
-    maintain_agg(t, a, v1, ["g"], ["n"], epoch_id="ivm1")
+    maintain_agg(t, a, v1, ["g"], ["n"], min_cols=["n"], max_cols=["n"], epoch_id="ivm1")
     return a.read().select(
-        "g", F.col("n_rows").cast("long").alias("n_rows"), F.col("sum_n").cast("long").alias("sum_n")
+        "g",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_n").cast("long").alias("sum_n"),
+        F.col("min_n").cast("long").alias("min_n"),
+        F.col("max_n").cast("long").alias("max_n"),
     )
 
 
@@ -1283,7 +1293,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT substring(v, 1, 1) AS g,
                    CAST(count(*) AS BIGINT) AS n_rows,
-                   CAST(sum(n) AS BIGINT) AS sum_n
+                   CAST(sum(n) AS BIGINT) AS sum_n,
+                   CAST(min(n) AS BIGINT) AS min_n,
+                   CAST(max(n) AS BIGINT) AS max_n
             FROM new GROUP BY 1
         """,
         "cdc_rename_column": f"""
