@@ -206,14 +206,18 @@ def main() -> None:
 
     cap(
         "IVM group-delta aggregation (before/after retraction)",
-        agg_deltas(tbl.read_changes(v1, include_old=True), ["v"], ["k"]),
+        agg_deltas(tbl.read_changes(v1, include_old=True), ["v"], ["k"], minmax_cols=["k"]),
         "Each change explodes into at most two contribution rows (retract "
         "from the before-image's group, apply to the after group), then ONE "
         "HashAggregate pair (partial map-side + final) on the group key — a "
         "Zipf-hot group's ±1/±value contributions combine locally; never a "
-        "per-group window sort. Downstream, apply_agg_deltas probes the "
-        "aggregate table with the pruned read_keys path and merges keyed "
-        "(touched buckets only): O(changed) view maintenance.",
+        "per-group window sort. MIN/MAX maintenance rides the SAME pair "
+        "(four extra null-skipping min/max expressions per column, no "
+        "second shuffle); its bounded recompute scan appears only on epochs "
+        "that retract a stored extremum without re-establishing it. "
+        "Downstream, apply_agg_deltas probes the aggregate table with the "
+        "pruned read_keys path and merges keyed (touched buckets only): "
+        "O(changed) view maintenance.",
     )
 
     out = (
