@@ -183,6 +183,18 @@ def apply_agg_deltas(
     )
     recomputed = 0
     if min_map or max_map:
+        # Append-mostly fast path (the common CDC-ingest epoch): a group
+        # can only be flagged if SOMETHING was retracted (`need_rc`
+        # requires a non-null retracted extremum), so one cheap probe of
+        # the already-checkpointed O(changed groups) deltas — not another
+        # pass over `updated` — decides whether the flag machinery (second
+        # checkpoint + count) runs at all. `_r_min_<c>`/`_r_max_<c>` are
+        # null on exactly the same rows, so probing the mins suffices.
+        any_retract = F.lit(False)
+        for c in dict.fromkeys([*min_map, *max_map]):
+            any_retract = any_retract | F.col(f"_r_min_{c}").isNotNull()
+        has_retraction = bool(deltas.filter(any_retract).limit(1).count())
+    if (min_map or max_map) and has_retraction:
         # O(changed groups) rows — pin them so the flag collect, the
         # recompute join, and the merge share one evaluation
         updated = updated.localCheckpoint(eager=True)

@@ -330,3 +330,44 @@ def test_ivm_minmax_bounded_recompute(spark, tmp_path):
     r = cycle(3, [], [301])
     assert r["recomputed_groups"] == 0
     assert "g3" not in _mm_state(agg.read())
+
+
+def test_ivm_minmax_insert_only_skips_flag_machinery(spark, tmp_path, monkeypatch):
+    """Append-mostly fast path: an epoch with NO retraction (pure inserts)
+    cannot flag a recompute, so apply_agg_deltas must skip the second
+    localCheckpoint + flag count — pinned by counting localCheckpoint calls
+    (1: the deltas pin only) vs a retraction epoch (2). State equality vs a
+    from-scratch GROUP BY holds on both."""
+    base = _base(spark, tmp_path, "fpbase")
+    agg = SnapshotTable(spark, str(tmp_path / "fpagg"), ("g",), num_buckets=2)
+    agg.overwrite(_mm_scratch(base), epoch_id="a0")
+    calls = []  # checkpoints of the flag frame only (it carries _rc)
+    cls = type(base.read())  # the concrete DataFrame class, not the ABC
+    orig = cls.localCheckpoint
+    monkeypatch.setattr(
+        cls,
+        "localCheckpoint",
+        lambda self, *a, **k: ("_rc" in self.columns and calls.append(1)) or orig(self, *a, **k),
+    )
+
+    v = base.version()
+    base.merge_mor(
+        spark.createDataFrame([(500, "g0", 7, "i"), (501, "g9", 3, "i")], "k long, g string, x long, txt string"),
+        None, epoch_id="fp0", n_updates=2,
+    )
+    r = maintain_agg(base, agg, v, ["g"], ["x"], min_cols=["x"], max_cols=["x"], epoch_id="fpm0")
+    assert r["recomputed_groups"] == 0
+    assert not calls, "insert-only epoch must skip the flag checkpoint entirely"
+    assert _mm_state(agg.read()) == _mm_state(_mm_scratch(base))
+
+    # deletion epoch (retracts g9's only row): flag machinery runs (1 pin)
+    v = base.version()
+    base.merge_mor(
+        spark.createDataFrame([], "k long, g string, x long, txt string"),
+        spark.createDataFrame([(501,)], "k long"),
+        epoch_id="fp1",
+        n_updates=1,
+    )
+    r = maintain_agg(base, agg, v, ["g"], ["x"], min_cols=["x"], max_cols=["x"], epoch_id="fpm1")
+    assert len(calls) == 1, "retraction epoch must pin the flag frame for the flag count"
+    assert _mm_state(agg.read()) == _mm_state(_mm_scratch(base))
