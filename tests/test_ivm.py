@@ -371,3 +371,69 @@ def test_ivm_minmax_insert_only_skips_flag_machinery(spark, tmp_path, monkeypatc
     r = maintain_agg(base, agg, v, ["g"], ["x"], min_cols=["x"], max_cols=["x"], epoch_id="fpm1")
     assert len(calls) == 1, "retraction epoch must pin the flag frame for the flag count"
     assert _mm_state(agg.read()) == _mm_state(_mm_scratch(base))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _ivm_epochs(draw):
+    """3-6 CDC epochs over a 10-key space: upserts carry a drawn group (so
+    group MIGRATION arises naturally) and a small-range x (duplicate
+    extrema likely) or null; deletes are disjoint from the epoch's upserts;
+    mode cow/mor per epoch."""
+    eps = []
+    for _ in range(draw(st.integers(3, 6))):
+        # merge contract: key-unique upserts per epoch (the pipeline's LWW
+        # fold emits one winner per key before merge) — last drawn wins
+        by_k = {}
+        for _ in range(draw(st.integers(1, 4))):
+            k = draw(st.integers(0, 9))
+            g = draw(st.sampled_from(["g0", "g1", "g2"]))
+            x = draw(st.one_of(st.none(), st.integers(-5, 5)))
+            by_k[k] = (k, g, x)
+        ups = list(by_k.values())
+        up_keys = set(by_k)
+        dels = [
+            d
+            for d in (draw(st.integers(0, 9)) for _ in range(draw(st.integers(0, 2))))
+            if d not in up_keys
+        ]
+        eps.append((draw(st.booleans()), ups, sorted(set(dels))))
+    return eps
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(eps=_ivm_epochs())
+def test_ivm_minmax_property_random_epochs(spark, tmp_path_factory, eps):
+    """For ANY epoch sequence (group migrations, duplicate extrema, nulls,
+    COW/MOR mix, extremum-retracting deletes), the maintained COUNT/SUM/
+    MIN/MAX view equals a from-scratch GROUP BY after EVERY epoch. The
+    structured tests pin designed recompute cases; hypothesis covers
+    interleavings they wouldn't produce."""
+    root = tmp_path_factory.mktemp("pivm")
+    base = SnapshotTable(spark, str(root / "b"), ("k",), num_buckets=2)
+    rows = [(i, f"g{i % 3}", (i * 3) % 7 - 3, "t") for i in range(10)]
+    base.overwrite(
+        spark.createDataFrame(rows, "k long, g string, x long, txt string"), epoch_id="b0"
+    )
+    agg = SnapshotTable(spark, str(root / "a"), ("g",), num_buckets=2)
+    agg.overwrite(_mm_scratch(base), epoch_id="a0")
+    for i, (mor, ups, dels) in enumerate(eps):
+        v = base.version()
+        mode = base.merge_mor if mor else base.merge
+        mode(
+            spark.createDataFrame(
+                [(k, g, x, "u") for k, g, x in ups], "k long, g string, x long, txt string"
+            ),
+            spark.createDataFrame([(d,) for d in dels], "k long") if dels else None,
+            epoch_id=f"e{i}",
+            n_updates=len(ups) + len(dels),
+        )
+        maintain_agg(base, agg, v, ["g"], ["x"], min_cols=["x"], max_cols=["x"], epoch_id=f"m{i}")
+        assert _mm_state(agg.read()) == _mm_state(_mm_scratch(base)), f"diverged at epoch {i}: {eps}"
