@@ -63,10 +63,18 @@ def main() -> None:
         tbl.read(version=v0).groupBy("role").agg(
             F.count("*").alias("n_rows"),
             F.coalesce(F.sum("turn_idx"), F.lit(0)).alias("sum_turn_idx"),
+            F.min("turn_idx").alias("min_turn_idx"),
+            F.max("turn_idx").alias("max_turn_idx"),
         ),
         epoch_id="view-init",
     )
-    maintain_agg(tbl, view, v0, ["role"], ["turn_idx"])
+    # MIN/MAX ride the same delta shuffle; a recompute scan runs only on
+    # epochs that retract a group's stored extremum without re-establishing
+    # it (reported via recomputed_groups)
+    stats = maintain_agg(
+        tbl, view, v0, ["role"], ["turn_idx"], min_cols=["turn_idx"], max_cols=["turn_idx"]
+    )
+    print("recomputed_groups:", stats["recomputed_groups"])
     print("\nmaintained per-role view (equals a fresh GROUP BY):")
     view.read().orderBy("role").show()
 

@@ -251,7 +251,12 @@ def maintain_agg(
     cost is O(changed): changelog read (manifest-pruned) -> one partial-agg
     shuffle -> pruned probe + keyed merge — plus, for MIN/MAX only, the
     bounded recompute scan on the (rare) epochs that retract a group's
-    stored extremum without re-establishing it."""
+    stored extremum without re-establishing it.
+
+    Call from a single maintainer per aggregate table (the consumer-loop
+    pattern): the change window and the recompute scan both read the base
+    table's CURRENT version, so a merge landing between them would leak
+    newer extrema into this cycle's view."""
     ch = base_table.read_changes(from_version=from_version, include_old=True)
     minmax = list(dict.fromkeys([*min_cols, *max_cols]))
     d = agg_deltas(ch, group_cols, sum_cols, minmax_cols=minmax)
