@@ -28,12 +28,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cpus: int, n_events: int) -> dict:
+MODE_KEYS = {"batch": "batch", "cow": "stream", "mor": "stream_mor"}
+
+
+def run_once(cpus: int, n_events: int, modes: tuple = ("batch", "cow", "mor")) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_EVENTS=str(n_events),
         BENCH_SKIP_QUERIES="1",
+        BENCH_MODES=",".join(modes),
     )
     # taskset pins the WHOLE process (Spark task threads AND JVM GC/IO/
     # native parquet threads) to exactly N cores — without it, local[1]
@@ -61,11 +65,12 @@ def run(cpus: int, n_events: int, reps: int = 2) -> dict:
     return best_of(runs)
 
 
-def best_of(runs: list[dict]) -> dict:
+def best_of(runs: list[dict], modes: tuple = ("batch", "cow", "mor")) -> dict:
     """Per-mode best across runs (symmetric at both parallelism levels)."""
+    mode_keys = tuple(MODE_KEYS[m] for m in modes)
     best = dict(runs[0])
     for r in runs[1:]:
-        for mode in ("batch", "stream", "stream_mor"):
+        for mode in mode_keys:
             if r[f"{mode}_events_per_sec"] > best[f"{mode}_events_per_sec"]:
                 for k in r:
                     # exact per-mode prefix: 'stream_' must not claim the
@@ -76,7 +81,7 @@ def best_of(runs: list[dict]) -> dict:
                     ):
                         best[k] = r[k]
     best["all_runs"] = [
-        {m: r[f"{m}_events_per_sec"] for m in ("batch", "stream", "stream_mor")} for r in runs
+        {m: r[f"{m}_events_per_sec"] for m in mode_keys} for r in runs
     ]
     return {"cdc": best}
 
@@ -108,28 +113,62 @@ def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    # optional 5th arg: comma-subset of {batch,cow,mor} for a FOCUSED
+    # session (e.g. "mor" to re-measure just the streaming default in a
+    # clean window) — one mode per JVM, tighter interleave, prints the
+    # efficiency JSON + raw reps but NEVER rewrites BASELINE.md (the full
+    # report needs all three modes)
+    modes = tuple(
+        m.strip() for m in (sys.argv[5] if len(sys.argv) > 5 else "batch,cow,mor").split(",") if m.strip()
+    )
+    full = set(modes) == {"batch", "cow", "mor"}
     factor = n_hi / n_lo
     cal = calibrate()
     # INTERLEAVE the two parallelism levels (lo,hi,lo,hi) so the host's
     # minute-scale speed drift lands on BOTH levels, not just whichever ran
     # second — an all-lo-then-all-hi schedule lets one slow window silently
     # deflate (or inflate) the efficiency ratio by ±25%
-    reps = 2
     runs_lo, runs_hi = [], []
     for _ in range(reps):
-        runs_lo.append(run_once(n_lo, n_events)["cdc"])
-        runs_hi.append(run_once(n_hi, n_events)["cdc"])
-    r_lo = best_of(runs_lo)["cdc"]
-    r_hi = best_of(runs_hi)["cdc"]
+        runs_lo.append(run_once(n_lo, n_events, modes)["cdc"])
+        runs_hi.append(run_once(n_hi, n_events, modes)["cdc"])
+    r_lo = best_of(runs_lo, modes)["cdc"]
+    r_hi = best_of(runs_hi, modes)["cdc"]
 
-    batch_eff = (r_hi["batch_events_per_sec"] / r_lo["batch_events_per_sec"]) / factor
-    stream_eff = (r_hi["stream_events_per_sec"] / r_lo["stream_events_per_sec"]) / factor
-    mor_eff = (r_hi["stream_mor_events_per_sec"] / r_lo["stream_mor_events_per_sec"]) / factor
+    def eff(key):
+        return (
+            (r_hi[f"{key}_events_per_sec"] / r_lo[f"{key}_events_per_sec"]) / factor
+            if f"{key}_events_per_sec" in r_hi
+            else None
+        )
+
+    batch_eff, stream_eff, mor_eff = eff("batch"), eff("stream"), eff("stream_mor")
     # structural efficiency: does the job keep 4N cores busy doing the same
     # total work? (immune to hypervisor steal, unlike wall clock)
-    util_hi = r_hi["batch_core_utilization"]
-    work_ratio = r_lo["batch_jvm_cpu_sec"] / r_hi["batch_jvm_cpu_sec"] if r_hi["batch_jvm_cpu_sec"] else 0
+    util_hi = r_hi.get("batch_core_utilization", 0)
+    work_ratio = (
+        r_lo["batch_jvm_cpu_sec"] / r_hi["batch_jvm_cpu_sec"]
+        if r_hi.get("batch_jvm_cpu_sec")
+        else 0
+    )
     structural_eff = util_hi * work_ratio
+    if not full:
+        print(
+            json.dumps(
+                {
+                    "focused_modes": list(modes),
+                    "n_events": r_lo.get("n_events"),
+                    "batch_eff": batch_eff,
+                    "stream_eff": stream_eff,
+                    "mor_eff": mor_eff,
+                    "raw_lo": r_lo["all_runs"],
+                    "raw_hi": r_hi["all_runs"],
+                    "calibration": cal,
+                }
+            )
+        )
+        return
 
     md = f"""# BENCH/BASELINE — measured numbers (this engine vs reference)
 
