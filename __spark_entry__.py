@@ -328,6 +328,38 @@ def q_cdc_rename_column(spark, sf_dir):
     return t.read().select("k", "val", "n")
 
 
+def q_cdc_drop_column(spark, sf_dir):
+    """Metadata-only column drop (r5): overwrite the fixture base, drop v
+    WITHOUT rewriting data, merge one epoch of ops under the narrowed
+    schema, then RE-ADD a fresh column named v for a disjoint key range —
+    the final read must show null v for every pre-drop row (the sentinel
+    rename-era entry prevents resurrecting dropped data from old files)
+    and real values only for the re-added rows. Oracle = the same fold in
+    SQL over the narrowed schema plus the re-added slice."""
+    from go_dcp_kafka_spark.gen import materialize_changes_fixture
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    path = materialize_changes_fixture()
+    t = SnapshotTable(spark, _scratch_table_dir(path, "drop_table"), ("k",), num_buckets=8)
+    base = spark.read.parquet(f"{path}/part-0.parquet")
+    ops = spark.read.parquet(f"{path}/part-1.parquet")
+    t.overwrite(base.select("k", "v", "n"), epoch_id="d0")
+    t.drop_column("v")
+    t.merge(
+        ops.filter(F.col("op") == "mutation").select("k", "n"),
+        ops.filter(F.col("op") == "deletion").select("k"),
+        epoch_id="d1",
+        n_updates=ops.count(),
+    )
+    readd = spark.range(300, 310).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("n"),
+        F.concat(F.lit("re"), F.col("id")).alias("v"),
+    )
+    t.merge(readd, None, epoch_id="d2", n_updates=10)
+    return t.read().select("k", "n", "v")
+
+
 def q_cdc_ivm_agg(spark, sf_dir):
     """Incremental view maintenance (operators/ivm.py): a downstream
     per-group aggregate (row count + SUM(n) + MIN/MAX(n), grouped by the
@@ -942,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_type_widening": q_cdc_type_widening,
         "cdc_read_changes": q_cdc_read_changes,
         "cdc_rename_column": q_cdc_rename_column,
+        "cdc_drop_column": q_cdc_drop_column,
         "cdc_ivm_agg": q_cdc_ivm_agg,
         "cdc_assemble_convs": q_cdc_assemble_convs,
         "cdc_sft_pairs": q_cdc_sft_pairs,
@@ -1278,6 +1311,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM old o FULL OUTER JOIN new n2 ON o.k = n2.k
             )
             SELECT k, v, n, _change FROM diff WHERE _change IS NOT NULL
+        """,
+        "cdc_drop_column": f"""
+            WITH old AS (
+                SELECT k, n FROM read_parquet('{materialize_changes_fixture()}/part-0.parquet')
+            ),
+            ops AS (
+                SELECT k, op, n FROM read_parquet('{materialize_changes_fixture()}/part-1.parquet')
+            ),
+            folded AS (
+                SELECT o.k, o.n FROM old o WHERE o.k NOT IN (SELECT k FROM ops)
+                UNION ALL
+                SELECT k, n FROM ops WHERE op = 'mutation'
+            )
+            SELECT k, n, CAST(NULL AS VARCHAR) AS v FROM folded
+            UNION ALL
+            SELECT k, k * 2 AS n, 're' || CAST(k AS VARCHAR) AS v
+            FROM range(300, 310) AS t(k)
         """,
         "cdc_ivm_agg": f"""
             WITH old AS (

@@ -1401,6 +1401,42 @@ class SnapshotTable:
         self._commit_manifest(m)
         return {"version": new_version, "renamed": {old: new}}
 
+    def drop_column(self, name: str) -> dict[str, Any]:
+        """METADATA-ONLY column drop (the Iceberg/Delta drop-column analog).
+        No data is rewritten: the column is removed from the manifest
+        schema, so current reads simply never request it from parquet; old
+        snapshots keep their manifest and still read it (time travel
+        unaffected).
+
+        Name reuse is the classic name-based-evolution trap — a later
+        re-add of the same name must NOT resurrect the dropped data from
+        old files. The drop is therefore also recorded in the rename-era
+        log as ``name -> __dropped__<name>@v<V>`` (a reserved sentinel no
+        real column carries): the existing era walker then resolves a
+        re-added column to "absent" for every file written before the
+        drop, with zero new read logic — the exact machinery that already
+        guards rename-chain intermediate names. Same preconditions as
+        ``rename_column``: key columns refused, outstanding MOR deltas
+        must be compacted first (delta files are read by name)."""
+        m = self._load_manifest()
+        if name in self.key_cols:
+            raise ValueError(f"cannot drop key column {name!r}")
+        if not m.get("schema"):
+            raise ValueError("table has no recorded schema")
+        if self._delta_entries(m):
+            raise ValueError("outstanding MOR deltas: compact() before drop_column()")
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no column {name!r} (have {[f.name for f in schema.fields]})")
+        new_version = m["version"] + 1
+        m["schema"] = T.StructType([f for f in schema.fields if f.name != name]).json()
+        m.setdefault("renames", []).append(
+            {"from": name, "to": f"__dropped__{name}@v{new_version}", "v": new_version}
+        )
+        m["version"] = new_version
+        self._commit_manifest(m)
+        return {"version": new_version, "dropped": name}
+
     @_locked
     def rebucket(self, new_num_buckets: int) -> dict[str, Any]:
         """Change the table's bucket count — the Iceberg partition-spec-

@@ -456,3 +456,87 @@ def test_physical_name_era_walk():
     assert p(rn, "a", 5) == "a"
     assert p(rn, "other", 1) == "other"  # untouched columns pass through
     assert p([], "x", 0) == "x"
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    """drop_column is metadata-only: no data rewrite, current reads omit
+    the column, old snapshots keep it (time travel intact), a drop-only
+    commit reports zero changes, and RE-ADDING the name later is a fresh
+    column that reads null for every pre-drop file (no data resurrection —
+    the sentinel rename-era entry guards name reuse)."""
+    import os
+
+    import pytest
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    t.overwrite(
+        spark.createDataFrame([(i, f"v{i}", i * 10) for i in range(50)], ["k", "v", "w"]),
+        epoch_id="b0",
+    )
+    v1 = t.version()
+    files_before = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tmp_path / "t" / "data")
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    res = t.drop_column("v")
+    files_after = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tmp_path / "t" / "data")
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert files_after == files_before  # no data rewritten
+    assert t.read().columns == ["k", "w"]
+    # drop-only commit: zero changes (surviving columns' values unchanged)
+    assert t.read_changes(v1, res["version"]).count() == 0
+    # time travel: the old snapshot still carries the column and its data
+    old = {r["k"]: r["v"] for r in t.read(version=v1).collect()}
+    assert old[7] == "v7" and len(old) == 50
+
+    # post-drop merge, then RE-ADD the name: fresh column, null for
+    # pre-drop files, never the dropped data
+    t.merge(spark.createDataFrame([(7, 700)], ["k", "w"]), None, epoch_id="e1", n_updates=1)
+    t.merge(
+        spark.createDataFrame([(3, 30, "fresh3")], ["k", "w", "v"]), None, epoch_id="e2", n_updates=1
+    )
+    rows = {r["k"]: (r["w"], r["v"]) for r in t.read().collect()}
+    assert rows[3] == (30, "fresh3")
+    assert rows[4] == (40, None)  # pre-drop file: NOT resurrected "v4"
+    assert rows[7] == (700, None)
+    # read_changes across drop + merges: exactly the merged rows, under the
+    # current schema
+    ch = {r["k"]: (r["w"], r["v"], r["_change"]) for r in t.read_changes(v1).collect()}
+    assert ch == {7: (700, None, "update"), 3: (30, "fresh3", "update")}
+
+    # refusals mirror rename_column
+    with pytest.raises(ValueError, match="key column"):
+        t.drop_column("k")
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("nope")
+
+
+def test_drop_column_requires_compaction_and_chains(spark, tmp_path):
+    """Outstanding MOR deltas refuse the drop (delta files are read by
+    name); dropping a RENAMED column composes with the era chain — old-era
+    files resolve through rename-then-drop correctly."""
+    import pytest
+
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    t.overwrite(spark.createDataFrame([(1, "a1", 1)], ["k", "a", "w"]), epoch_id="b0")
+    t.merge_mor(spark.createDataFrame([(2, "a2", 2)], ["k", "a", "w"]), None, epoch_id="d1", n_updates=1)
+    with pytest.raises(ValueError, match="compact"):
+        t.drop_column("a")
+    t.compact()
+    t.rename_column("a", "b")
+    t.drop_column("b")
+    assert t.read().columns == ["k", "w"]
+    # re-add under the ORIGINAL name after rename->drop: fresh everywhere
+    t.merge(spark.createDataFrame([(3, 3, "newa")], ["k", "w", "a"]), None, epoch_id="e1", n_updates=1)
+    rows = {r["k"]: (r["w"], r["a"]) for r in t.read().collect()}
+    assert rows == {1: (1, None), 2: (2, None), 3: (3, "newa")}
