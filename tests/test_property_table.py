@@ -107,17 +107,21 @@ def test_table_matches_sequential_dict_fold(spark, tmp_path_factory, ops):
 
 @st.composite
 def rename_op_sequences(draw):
-    """6-11 ops mixing COW/MOR upserts, compactions, and RENAMES of either
-    payload slot (always to a fresh name — chains build up naturally)."""
+    """6-11 ops mixing COW/MOR upserts, compactions, RENAMES of either
+    payload slot (always to a fresh name — chains build up naturally), and
+    DROPS of either slot (the next merge re-adds the SAME name — the
+    name-reuse resurrection trap the sentinel rename exists to close)."""
     n_ops = draw(st.integers(6, 11))
     ops = []
     for i in range(n_ops):
-        kind = draw(st.sampled_from(["cow", "mor", "mor", "compact", "rename", "rename"]))
+        kind = draw(
+            st.sampled_from(["cow", "mor", "mor", "compact", "rename", "rename", "drop"])
+        )
         if kind == "compact":
             ops.append(("compact", None))
             continue
-        if kind == "rename":
-            ops.append(("rename", draw(st.sampled_from(["A", "B"]))))
+        if kind in ("rename", "drop"):
+            ops.append((kind, draw(st.sampled_from(["A", "B"]))))
             continue
         rows = []
         for j in range(draw(st.integers(1, 4))):
@@ -134,9 +138,12 @@ def rename_op_sequences(draw):
 )
 @given(ops=rename_op_sequences())
 def test_renames_interleaved_with_merges_match_dict_fold(spark, tmp_path_factory, ops):
-    """For ANY interleaving of COW/MOR merges, compactions, and column
-    renames, read() under the CURRENT names equals the sequential dict fold
-    — the era-aliasing read path (r5 rename_column) must be transparent."""
+    """For ANY interleaving of COW/MOR merges, compactions, column renames,
+    and column DROPS, read() under the CURRENT names equals the sequential
+    dict fold — the era-aliasing read path (r5 rename/drop_column) must be
+    transparent. A dropped slot folds to None for every existing key (a
+    re-added same-name column must read null for pre-drop rows, never the
+    dropped files' data) and the NEXT merge re-adds the same name."""
     from pyspark.sql import types as T
 
     from go_dcp_kafka_spark.table.snapshot import SnapshotTable
@@ -153,16 +160,33 @@ def test_renames_interleaved_with_merges_match_dict_fold(spark, tmp_path_factory
         ),
     )
     names = {"A": "a", "B": "b"}
+    present = {"A": True, "B": True}  # is the slot's column in the current schema?
     state: dict[int, tuple] = {}
     for i, (kind, payload) in enumerate(ops):
         if kind == "compact":
             t.compact()
             continue
         if kind == "rename":
+            if not present[payload]:
+                continue  # can't rename a dropped-and-not-yet-re-added column
             t.compact()  # rename contract: no outstanding deltas
             new = f"c{i}"
             t.rename_column(names[payload], new)
             names[payload] = new
+            continue
+        if kind == "drop":
+            if not present[payload]:
+                continue
+            t.compact()  # drop contract: no outstanding deltas
+            t.drop_column(names[payload])
+            present[payload] = False
+            # every existing key now reads null for this slot, even after a
+            # same-name re-add (the sentinel-rename era guard)
+            sl = 0 if payload == "A" else 1
+            state = {
+                k: (None, vw[1]) if sl == 0 else (vw[0], None)
+                for k, vw in state.items()
+            }
             continue
         batch = {}
         for k, va, vb in payload:
@@ -174,7 +198,18 @@ def test_renames_interleaved_with_merges_match_dict_fold(spark, tmp_path_factory
         fn = t.merge if kind == "cow" else t.merge_mor
         fn(df, None, epoch_id=f"r:{i}", n_updates=len(batch))
         state.update(batch)
+        present["A"] = present["B"] = True  # the merge df re-adds dropped names
+    out = t.read()
+    cols = set(out.columns)
+    for slot in ("A", "B"):
+        assert (names[slot] in cols) == present[slot], (
+            f"slot {slot} ({names[slot]!r}) presence mismatch: schema {sorted(cols)}"
+        )
     got = {
-        r["k"]: (r[names["A"]], r[names["B"]]) for r in t.read().collect()
+        r["k"]: (
+            r[names["A"]] if present["A"] else None,
+            r[names["B"]] if present["B"] else None,
+        )
+        for r in out.collect()
     }
     assert got == state
