@@ -1,0 +1,232 @@
+"""Materialized MinHash-LSH index with changelog-driven maintenance — the
+dedup-side twin of ``similarity.materialize_ivf`` / ``update_ivf``.
+
+A training pipeline's near-dup index must TRACK the corpus: when an epoch
+of CDC changes lands (``SnapshotTable.read_changes``), recomputing every
+document's signature to ask "did this epoch introduce duplicates?" is the
+full-table-poll disease all over again (reference analog: consumers read
+only the appended log segment — /root/reference/kafka/client.go:220-233).
+
+Layout: one parquet table of ``(doc_id, band_id, band_key)`` rows,
+hash-partitioned by ``part = band_key % num_parts`` (band_key is the
+60-bit oracle-portable md5 band hash, so ``part`` is deterministic and
+SQL-twinnable). Within each partition files are sorted by
+``(band_key, doc_id)`` so a probe's ``band_key IN (...)`` pushdown skips
+to matching row groups.
+
+Scale shape:
+- ``materialize_minhash``: signatures are a pure projection; the only
+  shuffle is the repartition-by-part for the partitioned write.
+- ``update_minhash``: O(changed). New/updated docs are signed from the
+  change rows alone; OLD index rows are located EXACTLY by re-signing the
+  before-image text (``read_changes(include_old=True)``'s ``_before``
+  struct) — same text => same band keys => same partitions — so only
+  ``bands × changed-docs`` partitions are rewritten (dynamic partition
+  overwrite) and nothing scans the corpus or the full index. Without a
+  before-image the function falls back to an all-partition anti-join
+  (documented O(index) path).
+- ``probe_near_dups``: candidates for a set of docs (typically the
+  epoch's changed docs) via partition-filter + row-group-stats pushdown —
+  reads only the probed band keys' partitions, never the whole index.
+
+``num_parts`` is the rewrite/probe granule: size it so one partition is a
+few hundred MB at the target corpus (total index rows = docs × bands).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_dcp_kafka_spark.functions.dedup_text import (
+    minhash_band_buckets,
+    minhash_signatures,
+)
+
+_PARAM_KEYS = ("num_hashes", "bands", "shingle_words", "num_parts")
+
+
+def _band_rows(docs: DataFrame, text_col: str, p: dict) -> DataFrame:
+    """(doc_id, band_id, band_key, part) for each doc — a pure projection
+    chain (no shuffle) reusing the oracle-portable signature pipeline."""
+    sigs = minhash_signatures(docs, text_col, p["num_hashes"], p["shingle_words"])
+    bk = minhash_band_buckets(sigs, p["bands"], p["num_hashes"] // p["bands"])
+    return bk.withColumn("part", F.pmod(F.col("band_key"), F.lit(p["num_parts"])))
+
+
+def _load_params(path: str) -> dict:
+    with open(os.path.join(path, "params.json")) as f:
+        return json.load(f)
+
+
+def _write_index(rows: DataFrame, index_dir: str, dynamic: bool = False) -> None:
+    w = (
+        rows.repartition(F.col("part"))
+        # in-task sort: row-group min/max stats on band_key make probe-side
+        # IN pushdowns skip to matching row groups (same trick as
+        # materialize_ivf's id sort)
+        .sortWithinPartitions("band_key", "doc_id")
+        .write.partitionBy("part")
+        .mode("overwrite")
+    )
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(index_dir)
+
+
+def materialize_minhash(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    num_parts: int = 64,
+) -> str:
+    """Build the LSH band index for ``docs`` at ``path`` and persist the
+    signature parameters alongside (update/probe MUST reuse them — a
+    different permutation set would silently index a different space)."""
+    p = dict(
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_words=shingle_words,
+        num_parts=num_parts,
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump(p, f)
+    _write_index(_band_rows(docs, text_col, p), os.path.join(path, "index"))
+    return path
+
+
+def update_minhash(
+    spark,
+    path: str,
+    changes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    change_col: str = "_change",
+    before_col: str = "_before",
+) -> dict:
+    """Apply a CDC changes feed to a materialized MinHash index.
+
+    ``changes``: (id_col, text_col, change_col ∈ insert/update/delete[,
+    before_col struct]) — exactly what ``SnapshotTable.read_changes(...,
+    include_old=True)`` returns for a documents table keyed by ``id_col``
+    (deletes carry a null new text; ``_before`` is null for inserts).
+
+    Old rows of updated/deleted docs are located by re-signing the
+    before-image text: identical text ⇒ identical band keys ⇒ identical
+    partitions, so the anti-join that removes them only needs the affected
+    partitions. Result ≡ a full ``materialize_minhash`` rebuild over the
+    updated corpus. Returns the affected/emptied partition lists plus
+    whether the exact (before-image) location path was taken."""
+    p = _load_params(path)
+    index_dir = os.path.join(path, "index")
+    ch = changes.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.col(change_col).alias("_change"),
+        *(
+            [F.col(f"{before_col}.{text_col}").alias("_ot")]
+            if before_col in changes.columns
+            else []
+        ),
+    )
+    changed_ids = ch.select("doc_id").distinct()
+
+    new_rows = _band_rows(
+        ch.filter(F.col("_change") != "delete").select("doc_id", F.col("_t").alias("_txt")),
+        "_txt",
+        p,
+    )
+    new_parts = {r["part"] for r in new_rows.select("part").distinct().collect()}
+
+    exact_old = False
+    old_parts: set[int] = set()
+    if "_ot" in ch.columns:
+        noninsert = ch.filter(F.col("_change") != "insert")
+        missing = noninsert.filter(F.col("_ot").isNull()).limit(1).count()
+        if missing == 0:
+            exact_old = True
+            old_rows = _band_rows(
+                noninsert.select("doc_id", F.col("_ot").alias("_txt")), "_txt", p
+            )
+            old_parts = {r["part"] for r in old_rows.select("part").distinct().collect()}
+    if not exact_old:
+        # no before-image: any partition may hold the docs' old rows
+        old_parts = {
+            int(d.split("=")[1])
+            for d in os.listdir(index_dir)
+            if d.startswith("part=")
+        }
+
+    affected = sorted(new_parts | old_parts)
+    if not affected:
+        return {"affected_parts": [], "emptied_parts": [], "exact_old_location": exact_old}
+
+    index = spark.read.parquet(index_dir)
+    remaining = index.filter(F.col("part").isin(affected)).join(
+        F.broadcast(changed_ids), "doc_id", "left_anti"
+    )
+    # localCheckpoint: legal to overwrite the dirs we just read, and the
+    # affected slice is CDC-poll sized
+    out = (
+        remaining.select("doc_id", "band_id", "band_key", "part")
+        .unionByName(new_rows.select("doc_id", "band_id", "band_key", "part"))
+        .localCheckpoint(eager=True)
+    )
+    present = {r["part"] for r in out.select("part").distinct().collect()}
+    emptied = [c for c in affected if c not in present]
+    _write_index(out, index_dir, dynamic=True)
+    for c in emptied:
+        shutil.rmtree(os.path.join(index_dir, f"part={c}"), ignore_errors=True)
+    return {
+        "affected_parts": affected,
+        "emptied_parts": emptied,
+        "exact_old_location": exact_old,
+    }
+
+
+def probe_near_dups(
+    spark,
+    path: str,
+    probe_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_keys_pushdown: int = 1024,
+) -> DataFrame:
+    """Near-dup CANDIDATES for ``probe_docs`` against the indexed corpus:
+    (probe_id, match_id) for every corpus doc sharing ≥1 LSH band with a
+    probe doc. The epoch-sized probe's band keys become a partition filter
+    (reads only ``bands × probes`` of the num_parts directories) plus — for
+    point-poll-sized probes — a ``band_key IN`` row-group-stats pushdown.
+    Verify candidates with ``jaccard_verify_pairs`` over the corpus; a
+    probe doc already in the corpus never matches itself."""
+    p = _load_params(path)
+    pr = _band_rows(
+        probe_docs.select(F.col(id_col).alias("doc_id"), text_col), text_col, p
+    ).localCheckpoint(eager=False)  # avoid re-signing once per use below
+    # the partition filter is ALWAYS applied (≤ num_parts values, bounded);
+    # the band_key row-group pushdown only for point-poll-sized probes
+    keys = pr.select("part", "band_key").distinct().limit(max_keys_pushdown + 1).collect()
+    if len(keys) <= max_keys_pushdown:
+        parts = sorted({r["part"] for r in keys})
+    else:  # capped sample is incomplete — re-collect parts alone (≤ num_parts rows)
+        parts = sorted(r["part"] for r in pr.select("part").distinct().collect())
+    index = spark.read.parquet(os.path.join(path, "index")).filter(F.col("part").isin(parts))
+    if len(keys) <= max_keys_pushdown:
+        index = index.filter(F.col("band_key").isin(sorted({r["band_key"] for r in keys})))
+    probe_side = pr.select(
+        F.col("doc_id").alias("probe_id"), "band_id", "band_key"
+    )
+    return (
+        index.join(probe_side, ["band_id", "band_key"])
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .select("probe_id", F.col("doc_id").alias("match_id"))
+        .distinct()
+    )

@@ -1,0 +1,190 @@
+"""Changelog-driven MinHash-LSH index maintenance (dedup_index.py): feeding
+SnapshotTable.read_changes(include_old=True) into update_minhash must
+produce an index identical to a full materialize_minhash rebuild over the
+updated corpus while rewriting only the affected partitions, and
+probe_near_dups must find planted near-dups reading only the probed
+partitions."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_dcp_kafka_spark.functions.dedup_index import (
+    materialize_minhash,
+    probe_near_dups,
+    update_minhash,
+)
+from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+
+def _text(i: int) -> str:
+    # 30 words from a 50-word vocab, deterministic per doc
+    return " ".join(f"w{(i * 7 + j) % 50}" for j in range(30))
+
+
+def _near_dup_of(i: int) -> str:
+    words = _text(i).split()
+    words[3] = "CHANGED"
+    return " ".join(words)
+
+
+@pytest.fixture()
+def corpus_table(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, _text(i)) for i in range(60)], "doc_id long, text string"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "docs"), ("doc_id",), num_buckets=4)
+    t.overwrite(docs, epoch_id="b0")
+    return t
+
+
+def _index_rows(spark, path):
+    return {
+        (r["doc_id"], r["band_id"], r["band_key"], r["part"])
+        for r in spark.read.parquet(os.path.join(path, "index")).collect()
+    }
+
+
+def _part_files(path):
+    idx = os.path.join(path, "index")
+    return {
+        d: sorted(f for f in os.listdir(os.path.join(idx, d)) if f.endswith(".parquet"))
+        for d in os.listdir(idx)
+        if d.startswith("part=")
+    }
+
+
+def test_update_minhash_tracks_cdc_changes(spark, tmp_path, corpus_table):
+    t = corpus_table
+    v1 = t.version()
+    idx = str(tmp_path / "mh")
+    materialize_minhash(t.read(), idx, num_parts=16)
+    pre = _part_files(idx)
+
+    # CDC epoch: one insert that is a near-dup of doc 3, one divergent
+    # update, one delete
+    ups = spark.createDataFrame(
+        [(100, _near_dup_of(3)), (5, "totally different text now here")],
+        "doc_id long, text string",
+    )
+    t.merge_mor(
+        ups, spark.createDataFrame([(7,)], "doc_id long"), epoch_id="e1", n_updates=3
+    )
+    changes = t.read_changes(v1, include_old=True)
+
+    res = update_minhash(spark, idx, changes)
+    # before-images present => old rows located exactly, no full-index pass
+    assert res["exact_old_location"] is True
+    assert res["affected_parts"]
+
+    # equivalence vs a full rebuild over the updated corpus
+    rebuilt = str(tmp_path / "mh_full")
+    materialize_minhash(t.read(), rebuilt, num_parts=16)
+    inc, full = _index_rows(spark, idx), _index_rows(spark, rebuilt)
+    assert inc == full
+    ids = {d for d, *_ in inc}
+    assert 100 in ids and 7 not in ids
+
+    # untouched partitions' files are bit-identical (names unchanged)
+    post = _part_files(idx)
+    untouched = [d for d in pre if int(d.split("=")[1]) not in res["affected_parts"]]
+    assert untouched, "test should leave some partitions untouched"
+    for d in untouched:
+        assert post[d] == pre[d], f"{d} was rewritten"
+
+    # probing the epoch's changed docs finds the planted near-dup
+    probe = changes.filter(F.col("_change") != "delete").select("doc_id", "text")
+    cand = {(r["probe_id"], r["match_id"]) for r in probe_near_dups(spark, idx, probe).collect()}
+    assert (100, 3) in cand
+    # the updated doc 5 diverged — it must not match its own old text's mates
+    assert not any(p == 5 for p, _ in cand)
+
+
+def test_update_minhash_without_before_image_falls_back(spark, tmp_path, corpus_table):
+    """No _before column => the documented O(index) fallback: all partitions
+    are rewritten, result still equals the rebuild."""
+    t = corpus_table
+    v1 = t.version()
+    idx = str(tmp_path / "mh")
+    materialize_minhash(t.read(), idx, num_parts=8)
+
+    ups = spark.createDataFrame([(200, _text(200))], "doc_id long, text string")
+    t.merge_mor(
+        ups, spark.createDataFrame([(2,)], "doc_id long"), epoch_id="e1", n_updates=2
+    )
+    changes = t.read_changes(v1)  # no include_old
+    res = update_minhash(spark, idx, changes)
+    assert res["exact_old_location"] is False
+
+    rebuilt = str(tmp_path / "mh_full")
+    materialize_minhash(t.read(), rebuilt, num_parts=8)
+    assert _index_rows(spark, idx) == _index_rows(spark, rebuilt)
+
+
+def test_probe_reads_only_probed_partitions(spark, tmp_path):
+    """The probe's partition filter must prune at the FILE level: only the
+    probe docs' band-key partitions are listed/read, never the whole index
+    — the property that keeps per-epoch dup checks O(changed) at 100 TB."""
+    docs = spark.createDataFrame(
+        [(i, _text(i)) for i in range(60)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "mh")
+    materialize_minhash(docs, idx, num_parts=16)
+    n_parts = len([d for d in os.listdir(os.path.join(idx, "index")) if d.startswith("part=")])
+
+    probe = spark.createDataFrame([(999, _near_dup_of(10))], "doc_id long, text string")
+    df = probe_near_dups(spark, idx, probe)
+    got = df.collect()
+    assert any(r["match_id"] == 10 for r in got)
+
+    def scan_metric(node, key):
+        nm = node.nodeName()
+        if "AdaptiveSparkPlan" in nm:  # AQE re-plans this multi-stage query
+            return scan_metric(node.executedPlan(), key)
+        if "QueryStage" in nm:
+            return scan_metric(node.plan(), key)
+        if "Scan" in nm and "parquet" in nm.lower():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == key:
+                    return kv._2().value()
+        for i in range(node.children().size()):
+            v = scan_metric(node.children().apply(i), key)
+            if v is not None:
+                return v
+        return None
+
+    n_read = scan_metric(df._jdf.queryExecution().executedPlan(), "numPartitions")
+    assert n_read is not None
+    # one probe doc => at most `bands` (4) band keys => ≤4 of the 16 dirs
+    assert n_read <= 4 < n_parts, f"read {n_read} of {n_parts} partitions"
+
+
+def test_update_after_update_composes(spark, tmp_path, corpus_table):
+    """Two successive CDC epochs applied incrementally equal one rebuild —
+    the consumer-tail loop composes."""
+    t = corpus_table
+    idx = str(tmp_path / "mh")
+    materialize_minhash(t.read(), idx, num_parts=8)
+
+    for i, (ins_id, upd_id, del_id) in enumerate([(300, 11, 12), (301, 300, 13)]):
+        v = t.version()
+        ups = spark.createDataFrame(
+            [(ins_id, _text(ins_id)), (upd_id, _near_dup_of(upd_id))],
+            "doc_id long, text string",
+        )
+        t.merge_mor(
+            ups,
+            spark.createDataFrame([(del_id,)], "doc_id long"),
+            epoch_id=f"e{i}",
+            n_updates=3,
+        )
+        res = update_minhash(spark, idx, t.read_changes(v, include_old=True))
+        assert res["exact_old_location"] is True
+
+    rebuilt = str(tmp_path / "mh_full")
+    materialize_minhash(t.read(), rebuilt, num_parts=8)
+    assert _index_rows(spark, idx) == _index_rows(spark, rebuilt)
