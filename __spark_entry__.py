@@ -625,6 +625,59 @@ def q_doc_dup_clusters(spark, sf_dir):
     return duplicate_clusters(verified)
 
 
+def q_doc_minhash_index(spark, sf_dir):
+    """CDC-maintained near-dup index (functions/dedup_index.py): the base
+    corpus is materialized as a band_key-partitioned MinHash-LSH index,
+    then ONE CDC epoch (updates/deletes/inserts through the keyed table's
+    MOR merge) is applied INCREMENTALLY — ``read_changes(include_old=True)``
+    feeds ``update_minhash``, which re-signs before-images to locate old
+    rows exactly and dynamically overwrites only the affected band
+    partitions (reference analog: consumers track the appended log, never
+    re-read the corpus — /root/reference/kafka/client.go:220-233). Returns
+    the final index rows; the oracle recomputes the index from the FINAL
+    corpus state in SQL, so the value-hash match IS the
+    incremental-equals-rebuild equivalence at driver level."""
+    import tempfile
+
+    from go_dcp_kafka_spark.functions.dedup_index import (
+        materialize_minhash,
+        update_minhash,
+    )
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    anchor = os.path.join(tempfile.gettempdir(), "gdks_anchor")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = SnapshotTable(
+        spark, _scratch_table_dir(anchor, "mhidx_table"), ("doc_id",), num_buckets=8
+    )
+    t.overwrite(docs, epoch_id="m0")
+    v1 = t.version()
+    idx = _scratch_table_dir(anchor, "mhidx_index")
+    materialize_minhash(
+        t.read(),
+        idx,
+        num_hashes=NEAR_DUP_HASHES,
+        bands=NEAR_DUP_BANDS,
+        shingle_words=3,
+        num_parts=32,
+    )
+    # one CDC epoch over disjoint mod-13 slices: update / delete / insert
+    ups = docs.filter(F.col("doc_id") % 13 == 3).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
+    )
+    ins = docs.filter(F.col("doc_id") % 13 == 11).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    dels = docs.filter(F.col("doc_id") % 13 == 7).select("doc_id")
+    upserts = ups.unionByName(ins)
+    t.merge_mor(upserts, dels, epoch_id="m1", n_updates=upserts.count())
+    update_minhash(spark, idx, t.read_changes(v1, include_old=True))
+    return spark.read.parquet(os.path.join(idx, "index")).select(
+        "doc_id", "band_id", "band_key", F.col("part").cast("int").alias("part")
+    )
+
+
 def q_doc_vocab_topk(spark, sf_dir):
     """Vocabulary building: top-50 tokens by document frequency (one vote
     per doc per distinct token) — one shuffle + TakeOrderedAndProject."""
@@ -989,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "doc_near_dup": q_doc_near_dup,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_minhash_index": q_doc_minhash_index,
         "doc_vocab_topk": q_doc_vocab_topk,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_split_assign": q_doc_split_assign,
@@ -1518,6 +1572,22 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
             SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+        """,
+        "doc_minhash_index": f"""
+            WITH final AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 3 THEN text || ' updated' ELSE text END AS text
+                FROM documents WHERE doc_id % 13 <> 7
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, 'new ' || text AS text
+                FROM documents WHERE doc_id % 13 = 11
+            ),
+            s AS (SELECT doc_id, {_shingles("text", 3)} AS sh FROM final),
+            sig AS (SELECT doc_id, {sig_cols16} FROM s),
+            bk AS (
+                {nd_buckets})
+            SELECT doc_id, band_id, band_key, CAST(band_key % 32 AS INTEGER) AS part
+            FROM bk
         """,
         "emb_ivf_mat": _ivf_sql(nprobe=1),
         "doc_clean_corpus": f"""
