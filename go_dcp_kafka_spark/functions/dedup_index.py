@@ -31,6 +31,12 @@ Scale shape:
 
 ``num_parts`` is the rewrite/probe granule: size it so one partition is a
 few hundred MB at the target corpus (total index rows = docs × bands).
+The granule only PRUNES when ``num_parts ≫ 2 × bands × epoch docs`` (an
+epoch's old+new band keys are uniform over partitions, so a 200-doc epoch
+against 64 partitions touches all of them and the rewrite degenerates to
+O(index) IO — BENCH/MICRO.md r5); the bytes rule satisfies this
+automatically at scale (a 100-TB index has ~10^5 partitions vs ~10^3
+band keys per poll).
 """
 
 from __future__ import annotations

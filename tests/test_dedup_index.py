@@ -163,6 +163,58 @@ def test_probe_reads_only_probed_partitions(spark, tmp_path):
     assert n_read <= 4 < n_parts, f"read {n_read} of {n_parts} partitions"
 
 
+def test_index_tracks_streamed_table(spark, tmp_path, log_dir):
+    """End-to-end consumer loop (the CDC→dedup story): a streaming replay
+    lands epochs on the transcripts table; a downstream consumer polls
+    ``read_changes(include_old=True)`` after each epoch (the reference's
+    consumer-group tail, kafka/client.go:220-233) and maintains the
+    MinHash-LSH index via ``update_minhash``. After the stream drains, the
+    incrementally-maintained index equals a full ``materialize_minhash``
+    rebuild over the final table."""
+    from go_dcp_kafka_spark.functions.hashing import md5_hash60
+    from go_dcp_kafka_spark.streaming.runner import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "p"), run_id="mhstream")
+    polled = []
+    pipe.on_epoch_complete = lambda stats: polled.append(
+        pipe.tables["transcripts"].version()
+    )
+    pipe.run_stream(log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    t = pipe.tables["transcripts"]
+    assert len(polled) >= 2, "need multiple epochs to exercise the poll loop"
+
+    doc_id = md5_hash60(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")))
+    txt = F.coalesce(F.col("text"), F.lit("x"))
+
+    def as_docs(df):
+        return df.select(doc_id.alias("doc_id"), txt.alias("text"))
+
+    idx = str(tmp_path / "mh")
+    v0 = polled[0]
+    materialize_minhash(as_docs(t.read(t._manifest_at(v0))), idx, num_parts=8)
+    for prev, v in zip(polled, polled[1:]):
+        if v == prev:
+            continue
+        ch = t.read_changes(from_version=prev, to_version=v, include_old=True)
+        feed = ch.select(
+            doc_id.alias("doc_id"),
+            txt.alias("text"),
+            "_change",
+            F.when(
+                F.col("_before").isNotNull(),
+                F.struct(
+                    F.coalesce(F.col("_before.text"), F.lit("x")).alias("text")
+                ),
+            ).alias("_before"),
+        )
+        res = update_minhash(spark, idx, feed)
+        assert res["exact_old_location"] is True
+
+    rebuilt = str(tmp_path / "mh_full")
+    materialize_minhash(as_docs(t.read()), rebuilt, num_parts=8)
+    assert _index_rows(spark, idx) == _index_rows(spark, rebuilt)
+
+
 def test_update_after_update_composes(spark, tmp_path, corpus_table):
     """Two successive CDC epochs applied incrementally equal one rebuild —
     the consumer-tail loop composes."""
