@@ -142,14 +142,19 @@ def update_minhash(
             if before_col in changes.columns
             else []
         ),
-    )
+    # the feed is CDC-poll sized by contract but its PLAN can be arbitrary
+    # (read_changes is a manifest diff + joins): materialize it once — the
+    # parts collects, the before-image probe, and the final union below
+    # would otherwise each re-run the upstream plan (r5 micro: 8.7s -> ~3s
+    # on the sf0.1 driver query)
+    ).localCheckpoint(eager=True)
     changed_ids = ch.select("doc_id").distinct()
 
     new_rows = _band_rows(
         ch.filter(F.col("_change") != "delete").select("doc_id", F.col("_t").alias("_txt")),
         "_txt",
         p,
-    )
+    ).localCheckpoint(eager=True)  # reused: parts collect + final union
     new_parts = {r["part"] for r in new_rows.select("part").distinct().collect()}
 
     exact_old = False
