@@ -78,6 +78,63 @@ def main() -> None:
     convs = assemble_conversations(pipe.read_table())
     pairs = sft_pairs(pipe.read_table())
     print(f"assembled conversations: {convs.count()}, sft pairs: {pairs.count()}")
+
+    # 6. The near-dup index TRACKS the table: an edit epoch lands, the
+    #    consumer polls read_changes(include_old=True), update_minhash
+    #    rewrites only the affected band partitions, and the epoch's docs
+    #    are probed for introduced duplicates (partition-pruned read).
+    from go_dcp_kafka_spark.functions.dedup_index import (
+        materialize_minhash,
+        probe_near_dups,
+        update_minhash,
+    )
+    from go_dcp_kafka_spark.functions.hashing import md5_hash60
+
+    t = pipe.tables["transcripts"]
+    key = md5_hash60(F.concat_ws("#", "conv_id", F.col("turn_idx")))
+    txt = F.coalesce(F.col("text"), F.lit(""))
+
+    def as_docs(df):
+        return df.select(key.alias("doc_id"), txt.alias("text"))
+
+    idx = f"{work}/mh_index"
+    materialize_minhash(as_docs(t.read()), idx, num_parts=16)
+    v = t.version()
+    # the edit epoch REPLACES three turns' texts with other turns' texts
+    # (a paste-duplication) so the probe has something to find; the tiny
+    # single-partition window is demo-only driver convenience
+    from pyspark.sql import Window
+
+    ranked = t.read().withColumn(
+        "_r", F.row_number().over(Window.orderBy("conv_id", "turn_idx"))
+    ).filter(F.col("_r") <= 6)
+    donors = ranked.filter(F.col("_r") > 3).select(
+        (F.col("_r") - 3).alias("_r"), F.col("text").alias("_donor")
+    )
+    edits = (
+        ranked.filter(F.col("_r") <= 3)
+        .drop("text")
+        .join(donors, "_r")
+        .withColumn("text", F.col("_donor"))
+        .drop("_r", "_donor")
+    )
+    t.merge(edits, None, epoch_id="edits-1", n_updates=3)
+    feed = t.read_changes(v, include_old=True).select(
+        key.alias("doc_id"),
+        txt.alias("text"),
+        "_change",
+        F.when(
+            F.col("_before").isNotNull(),
+            F.struct(F.coalesce(F.col("_before.text"), F.lit("")).alias("text")),
+        ).alias("_before"),
+    )
+    res = update_minhash(spark, idx, feed)
+    cand = probe_near_dups(spark, idx, feed.filter(F.col("_change") != "delete"))
+    print(
+        f"edit epoch: {len(res['affected_parts'])}/16 band partitions rewritten "
+        f"(exact before-image location: {res['exact_old_location']}), "
+        f"near-dup candidates introduced: {cand.count()}"
+    )
     spark.stop()
 
 
