@@ -69,6 +69,19 @@ def _load_params(path: str) -> dict:
         return json.load(f)
 
 
+_INDEX_SCHEMA = "doc_id long, band_id int, band_key long, part int"
+
+
+def _read_index(spark, index_dir: str) -> DataFrame:
+    """Empty-safe index read: a fully-emptied index (every doc deleted, or
+    materialized over zero docs) has NO part= dirs, and a bare
+    spark.read.parquet would fail schema inference — the next epoch's
+    inserts must still apply."""
+    if any(d.startswith("part=") for d in os.listdir(index_dir)):
+        return spark.read.parquet(index_dir)
+    return spark.createDataFrame([], _INDEX_SCHEMA)
+
+
 def _write_index(rows: DataFrame, index_dir: str, dynamic: bool = False) -> None:
     w = (
         rows.repartition(F.col("part"))
@@ -124,6 +137,9 @@ def update_minhash(
     before_col struct]) — exactly what ``SnapshotTable.read_changes(...,
     include_old=True)`` returns for a documents table keyed by ``id_col``
     (deletes carry a null new text; ``_before`` is null for inserts).
+    The feed must be KEY-UNIQUE — one row per doc per epoch — which a
+    snapshot diff is by construction; a raw multi-event stream must be
+    LWW-folded first (the same contract merge() has for upserts).
 
     Old rows of updated/deleted docs are located by re-signing the
     before-image text: identical text ⇒ identical band keys ⇒ identical
@@ -148,6 +164,15 @@ def update_minhash(
     # would otherwise each re-run the upstream plan (r5 micro: 8.7s -> ~3s
     # on the sf0.1 driver query)
     ).localCheckpoint(eager=True)
+    # key-unique guard: a duplicated doc in one feed would land BOTH texts'
+    # band rows (silent index corruption); fail loudly instead — cheap over
+    # the checkpointed poll-sized feed
+    dup = ch.groupBy("doc_id").count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(
+            "changes feed must be key-unique per epoch (one row per doc; "
+            "LWW-fold a multi-event stream first)"
+        )
     changed_ids = ch.select("doc_id").distinct()
 
     new_rows = _band_rows(
@@ -180,7 +205,7 @@ def update_minhash(
     if not affected:
         return {"affected_parts": [], "emptied_parts": [], "exact_old_location": exact_old}
 
-    index = spark.read.parquet(index_dir)
+    index = _read_index(spark, index_dir)
     remaining = index.filter(F.col("part").isin(affected)).join(
         F.broadcast(changed_ids), "doc_id", "left_anti"
     )
@@ -229,7 +254,7 @@ def probe_near_dups(
         parts = sorted({r["part"] for r in keys})
     else:  # capped sample is incomplete — re-collect parts alone (≤ num_parts rows)
         parts = sorted(r["part"] for r in pr.select("part").distinct().collect())
-    index = spark.read.parquet(os.path.join(path, "index")).filter(F.col("part").isin(parts))
+    index = _read_index(spark, os.path.join(path, "index")).filter(F.col("part").isin(parts))
     if len(keys) <= max_keys_pushdown:
         index = index.filter(F.col("band_key").isin(sorted({r["band_key"] for r in keys})))
     probe_side = pr.select(

@@ -163,6 +163,71 @@ def test_probe_reads_only_probed_partitions(spark, tmp_path):
     assert n_read <= 4 < n_parts, f"read {n_read} of {n_parts} partitions"
 
 
+def test_duplicate_key_feed_refused(spark, tmp_path):
+    """A feed with two rows for one doc would land BOTH texts' band rows —
+    silent corruption; update_minhash must refuse it loudly (the feed
+    contract is one row per key per epoch, a snapshot diff's shape)."""
+    docs = spark.createDataFrame(
+        [(i, _text(i)) for i in range(4)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "mh")
+    materialize_minhash(docs, idx, num_parts=8)
+    dup_feed = spark.createDataFrame(
+        [(1, "one text", "update", {"text": _text(1)}),
+         (1, "another text", "update", {"text": _text(1)})],
+        "doc_id long, text string, _change string, _before struct<text:string>",
+    )
+    with pytest.raises(ValueError, match="key-unique"):
+        update_minhash(spark, idx, dup_feed)
+
+
+def test_emptied_index_accepts_next_epoch(spark, tmp_path):
+    """An epoch that deletes EVERY doc leaves an index with zero part=
+    dirs; the next epoch's inserts (and probes against the re-filled
+    index) must still apply — a bare read of the partition-less dir would
+    fail schema inference."""
+    docs = spark.createDataFrame(
+        [(i, _text(i)) for i in range(4)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "mh")
+    materialize_minhash(docs, idx, num_parts=8)
+
+    wipe = spark.createDataFrame(
+        [(i, None, "delete", {"text": _text(i)}) for i in range(4)],
+        "doc_id long, text string, _change string, _before struct<text:string>",
+    )
+    res = update_minhash(spark, idx, wipe)
+    assert res["emptied_parts"] and not any(
+        d.startswith("part=") for d in os.listdir(os.path.join(idx, "index"))
+    )
+
+    refill = spark.createDataFrame(
+        [(10, _text(3), "insert", None), (11, _near_dup_of(3), "insert", None)],
+        "doc_id long, text string, _change string, _before struct<text:string>",
+    )
+    res2 = update_minhash(spark, idx, refill)
+    assert res2["exact_old_location"] is True
+    rebuilt = str(tmp_path / "mh_full")
+    materialize_minhash(
+        spark.createDataFrame(
+            [(10, _text(3)), (11, _near_dup_of(3))], "doc_id long, text string"
+        ),
+        rebuilt,
+        num_parts=8,
+    )
+    assert _index_rows(spark, idx) == _index_rows(spark, rebuilt)
+
+    probe = spark.createDataFrame([(99, _text(3))], "doc_id long, text string")
+    got = {(r["probe_id"], r["match_id"]) for r in probe_near_dups(spark, idx, probe).collect()}
+    assert (99, 10) in got
+
+    # probing a fully-empty index (before any refill) must return no rows,
+    # not crash
+    empty_idx = str(tmp_path / "mh_empty")
+    materialize_minhash(docs.limit(0), empty_idx, num_parts=8)
+    assert probe_near_dups(spark, empty_idx, probe).count() == 0
+
+
 def test_index_tracks_streamed_table(spark, tmp_path, log_dir):
     """End-to-end consumer loop (the CDC→dedup story): a streaming replay
     lands epochs on the transcripts table; a downstream consumer polls

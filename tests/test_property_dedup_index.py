@@ -31,11 +31,15 @@ def epoch_sequences(draw):
     epochs = []
     for _ in range(n_epochs):
         n_ups = draw(st.integers(0, 4))
-        ups = []
+        # changes-feed contract: ONE row per key per epoch (read_changes is
+        # a snapshot diff) — dedupe drawn upserts last-wins, like the IVM
+        # property test honors merge's key-unique contract
+        ups_by_key = {}
         for _ in range(n_ups):
             k = draw(st.integers(0, 7))
             words = draw(st.lists(st.sampled_from(_VOCAB), min_size=3, max_size=8))
-            ups.append((k, " ".join(words)))
+            ups_by_key[k] = " ".join(words)
+        ups = sorted(ups_by_key.items())
         up_keys = {k for k, _ in ups}
         dels = [
             d
