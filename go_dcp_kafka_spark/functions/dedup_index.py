@@ -228,6 +228,46 @@ def update_minhash(
     }
 
 
+def probe_and_verify(
+    spark,
+    path: str,
+    probe_docs: DataFrame,
+    corpus_table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The complete per-epoch duplicate check, O(changed) end to end:
+    LSH candidates partition-pruned from the index
+    (``probe_near_dups``), candidate texts fetched via the corpus TABLE's
+    bucket-pruned point lookup (``SnapshotTable.read_keys`` — only the
+    matched docs' bucket dirs are scanned, never the corpus), then exact
+    n-gram Jaccard verification. Returns (a_id=probe, b_id=match,
+    jaccard ≥ threshold).
+
+    ``corpus_table`` needs ``.read_keys(keys_df)`` and single-column
+    ``.key_cols`` (a ``SnapshotTable`` keyed by ``id_col``). Probe docs
+    already present in the corpus contribute their NEW text (the epoch's
+    value wins over the stored row)."""
+    from go_dcp_kafka_spark.functions.dedup_text import jaccard_verify_pairs
+
+    (table_key,) = corpus_table.key_cols
+    cand = probe_near_dups(
+        spark, path, probe_docs, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)  # poll-sized; reused for keys + pairs
+    if not cand.limit(1).count():
+        id_t = probe_docs.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame([], f"a_id {id_t}, b_id {id_t}, jaccard double")
+    probes = probe_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    matches = corpus_table.read_keys(
+        cand.select(F.col("match_id").alias(table_key)).distinct()
+    ).select(F.col(table_key).alias("doc_id"), F.col(text_col).alias("text"))
+    # union, probe text winning for ids on both sides
+    docs = probes.unionByName(matches.join(probes.select("doc_id"), "doc_id", "left_anti"))
+    pairs = cand.select(F.col("probe_id").alias("a_id"), F.col("match_id").alias("b_id"))
+    return jaccard_verify_pairs(docs, pairs, text_col="text", threshold=threshold)
+
+
 def probe_near_dups(
     spark,
     path: str,

@@ -746,6 +746,8 @@ class SnapshotTable:
             probed = sorted(r["_b"] for r in kdf.select(bexpr.alias("_b")).distinct().collect())
         else:
             probed = sorted({r["_b"] for r in probe_rows})
+        if not probed:  # empty probe set: empty result, zero dirs listed
+            return self.read().limit(0)
         state = self._resolve_lww(m, self._delta_entries(m), probed)
         if len(probe_rows) <= 1024:
             # push the first key column as an IN predicate onto the scans:

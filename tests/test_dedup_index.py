@@ -163,6 +163,41 @@ def test_probe_reads_only_probed_partitions(spark, tmp_path):
     assert n_read <= 4 < n_parts, f"read {n_read} of {n_parts} partitions"
 
 
+def test_probe_and_verify_end_to_end(spark, tmp_path, corpus_table):
+    """The complete O(changed) epoch dup check: candidates partition-pruned
+    from the index, match texts point-fetched via the table's bucket-pruned
+    read_keys, exact jaccard verify — the planted near-dup survives, band
+    collisions without textual overlap do not, and a no-candidate probe
+    returns an empty typed frame (exercising read_keys' empty-probe path
+    indirectly and the early-exit directly)."""
+    from go_dcp_kafka_spark.functions.dedup_index import probe_and_verify
+
+    t = corpus_table
+    idx = str(tmp_path / "mh")
+    materialize_minhash(t.read(), idx, num_parts=16)
+
+    probe = spark.createDataFrame(
+        [(999, _near_dup_of(10))], "doc_id long, text string"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in probe_and_verify(spark, idx, probe, t, threshold=0.5).collect()
+    }
+    assert (999, 10) in got and got[(999, 10)] >= 0.5
+
+    # a probe with no shared shingles at all: no verified pairs, empty
+    # frame with the right columns
+    alien = spark.createDataFrame(
+        [(998, "zz yy xx qq pp oo nn mm ll kk jj ii")], "doc_id long, text string"
+    )
+    res = probe_and_verify(spark, idx, alien, t)
+    assert res.columns == ["a_id", "b_id", "jaccard"] and res.count() == 0
+
+    # read_keys with an EMPTY probe set: empty result, table schema, no crash
+    empty = t.read_keys(spark.createDataFrame([], "doc_id long"))
+    assert empty.count() == 0 and set(t.read().columns) == set(empty.columns)
+
+
 def test_duplicate_key_feed_refused(spark, tmp_path):
     """A feed with two rows for one doc would land BOTH texts' band rows —
     silent corruption; update_minhash must refuse it loudly (the feed
