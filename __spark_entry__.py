@@ -678,6 +678,64 @@ def q_doc_minhash_index(spark, sf_dir):
     )
 
 
+def q_doc_probe_verify(spark, sf_dir):
+    """The per-epoch duplicate CHECK, O(changed) end to end
+    (dedup_index.probe_and_verify): the corpus lives in a keyed
+    SnapshotTable with a materialized band index; an epoch-shaped probe
+    set (near-dup inserts with fresh ids, edited re-upserts of existing
+    ids, and alien docs sharing nothing with the corpus) is answered by
+    partition-pruned LSH candidate lookup → bucket-pruned ``read_keys``
+    point fetch of ONLY the candidate texts → exact 3-gram Jaccard
+    verification, with the epoch's text winning over the stored row for
+    re-upserted ids. Neither the corpus nor the index is ever scanned in
+    full (reference analog: a consumer checks incoming mutations against
+    state without re-reading the topic — /root/reference/kafka/
+    client.go:220-233). Oracle recomputes candidates + verification from
+    scratch in SQL."""
+    import tempfile
+
+    from go_dcp_kafka_spark.functions.dedup_index import (
+        materialize_minhash,
+        probe_and_verify,
+    )
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    anchor = os.path.join(tempfile.gettempdir(), "gdks_anchor")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = SnapshotTable(
+        spark, _scratch_table_dir(anchor, "pv_table"), ("doc_id",), num_buckets=8
+    )
+    t.overwrite(docs, epoch_id="pv0")
+    idx = _scratch_table_dir(anchor, "pv_index")
+    materialize_minhash(
+        t.read(),
+        idx,
+        num_hashes=NEAR_DUP_HASHES,
+        bands=NEAR_DUP_BANDS,
+        shingle_words=3,
+        num_parts=32,
+    )
+    probe = (
+        docs.filter(F.col("doc_id") % 17 == 5)
+        .select(
+            (F.col("doc_id") + 20000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" probe tail edit")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 2).select(
+                "doc_id", F.concat(F.col("text"), F.lit(" edited v2")).alias("text")
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 9).select(
+                (F.col("doc_id") + 30000000).alias("doc_id"),
+                F.lit("zz yy xx ww vv uu tt ss rr qq pp oo").alias("text"),
+            )
+        )
+    )
+    return probe_and_verify(spark, idx, probe, t, threshold=0.5)
+
+
 def q_doc_vocab_topk(spark, sf_dir):
     """Vocabulary building: top-50 tokens by document frequency (one vote
     per doc per distinct token) — one shuffle + TakeOrderedAndProject."""
@@ -1043,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_near_dup": q_doc_near_dup,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_minhash_index": q_doc_minhash_index,
+        "doc_probe_verify": q_doc_probe_verify,
         "doc_vocab_topk": q_doc_vocab_topk,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_split_assign": q_doc_split_assign,
@@ -1250,6 +1309,10 @@ def oracle_sql() -> dict[str, str]:
 
     nd_buckets = "\n                UNION ALL\n                ".join(
         f"SELECT doc_id, {b} AS band_id, {band_key16(b)} AS band_key FROM sig"
+        for b in range(NEAR_DUP_BANDS)
+    )
+    pbk_buckets = "\n                UNION ALL\n                ".join(
+        f"SELECT doc_id, {b} AS band_id, {band_key16(b)} AS band_key FROM psig"
         for b in range(NEAR_DUP_BANDS)
     )
     jacc_sh = _shingles("text", 3)
@@ -1588,6 +1651,44 @@ def oracle_sql() -> dict[str, str]:
                 {nd_buckets})
             SELECT doc_id, band_id, band_key, CAST(band_key % 32 AS INTEGER) AS part
             FROM bk
+        """,
+        "doc_probe_verify": f"""
+            WITH probes AS (
+                SELECT doc_id + 20000000 AS doc_id, text || ' probe tail edit' AS text
+                FROM documents WHERE doc_id % 17 = 5
+                UNION ALL
+                SELECT doc_id, text || ' edited v2' AS text
+                FROM documents WHERE doc_id % 17 = 2
+                UNION ALL
+                SELECT doc_id + 30000000 AS doc_id,
+                       'zz yy xx ww vv uu tt ss rr qq pp oo' AS text
+                FROM documents WHERE doc_id % 17 = 9
+            ),
+            cs AS (SELECT doc_id, {_shingles("text", 3)} AS sh FROM documents),
+            sig AS (SELECT doc_id, {sig_cols16} FROM cs),
+            cbk AS (
+                {nd_buckets}),
+            ps AS (SELECT doc_id, {_shingles("text", 3)} AS sh FROM probes),
+            psig AS (SELECT doc_id, {sig_cols16} FROM ps),
+            pbk AS (
+                {pbk_buckets}),
+            cand AS (
+                SELECT DISTINCT p.doc_id AS a_id, c.doc_id AS b_id
+                FROM pbk p JOIN cbk c
+                  ON p.band_id = c.band_id AND p.band_key = c.band_key
+                WHERE c.doc_id <> p.doc_id),
+            vt AS (
+                SELECT * FROM probes
+                UNION ALL
+                SELECT d.doc_id, d.text FROM documents d
+                WHERE d.doc_id NOT IN (SELECT doc_id FROM probes)),
+            sd AS (SELECT doc_id, list_distinct({jacc_sh}) AS sh FROM vt)
+            SELECT c.a_id, c.b_id,
+                   CAST(round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                        len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS DOUBLE) AS jaccard
+            FROM cand c JOIN sd sa ON c.a_id = sa.doc_id JOIN sd sb ON c.b_id = sb.doc_id
+            WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                  len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.5
         """,
         "emb_ivf_mat": _ivf_sql(nprobe=1),
         "doc_clean_corpus": f"""
