@@ -245,6 +245,29 @@ def main() -> None:
         "O(changed), never an index scan.",
     )
 
+    from go_dcp_kafka_spark.functions.dedup_index import probe_and_verify
+
+    pv_t = SnapshotTable(
+        spark, os.path.join(tempfile.mkdtemp(), "pv_t"), ("doc_id",), num_buckets=8
+    )
+    pv_t.overwrite(corpus, epoch_id="p0")
+    probe = corpus.filter(F.col("doc_id") == 10).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), F.concat("text", F.lit(" x")).alias("text")
+    )
+    cap(
+        "probe_and_verify: candidates → bucket-pruned text fetch → exact jaccard",
+        probe_and_verify(spark, mh_dir, probe, pv_t, threshold=0.5),
+        "The complete O(changed) epoch dup check: the partition-pruned "
+        "candidate set (previous section, materialized poll-sized via "
+        "localCheckpoint — the `Scan ExistingRDD` leaves below) drives a "
+        "read_keys point fetch (only the matched docs' bucket dirs are "
+        "listed, key IN PushedFilter — executed file-count metrics pinned "
+        "in test_plans/test_dedup_index; the fetch sits behind the "
+        "checkpointed shingle frame here), and the exact-jaccard verify is "
+        "two BroadcastHashJoins because every side is poll-sized. Neither "
+        "the corpus nor the index is ever scanned in full.",
+    )
+
     out = (
         "# PLANS — physical plans of the core operators (captured from .explain)\n\n"
         "Regenerate: `python tools/dump_plans.py` (this file).\n\n" + "\n".join(sections)
