@@ -682,7 +682,7 @@ def q_doc_probe_verify(spark, sf_dir):
     """The per-epoch duplicate CHECK, O(changed) end to end
     (dedup_index.probe_and_verify): the corpus lives in a keyed
     SnapshotTable with a materialized band index; an epoch-shaped probe
-    set (point-poll-sized: mod-251 slices — near-dup inserts with fresh
+    set (point-poll-sized: mod-61 slices; <=256 probes at sf0.1, inside the IN-pushdown caps — near-dup inserts with fresh
     ids, edited re-upserts of existing ids, and alien docs sharing
     nothing with the corpus) is answered by
     partition-pruned LSH candidate lookup → bucket-pruned ``read_keys``
@@ -717,18 +717,18 @@ def q_doc_probe_verify(spark, sf_dir):
         num_parts=32,
     )
     probe = (
-        docs.filter(F.col("doc_id") % 251 == 5)
+        docs.filter(F.col("doc_id") % 61 == 5)
         .select(
             (F.col("doc_id") + 20000000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" probe tail edit")).alias("text"),
         )
         .unionByName(
-            docs.filter(F.col("doc_id") % 251 == 2).select(
+            docs.filter(F.col("doc_id") % 61 == 2).select(
                 "doc_id", F.concat(F.col("text"), F.lit(" edited v2")).alias("text")
             )
         )
         .unionByName(
-            docs.filter(F.col("doc_id") % 251 == 9).select(
+            docs.filter(F.col("doc_id") % 61 == 9).select(
                 (F.col("doc_id") + 30000000).alias("doc_id"),
                 F.lit("zz yy xx ww vv uu tt ss rr qq pp oo").alias("text"),
             )
@@ -1656,14 +1656,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_probe_verify": f"""
             WITH probes AS (
                 SELECT doc_id + 20000000 AS doc_id, text || ' probe tail edit' AS text
-                FROM documents WHERE doc_id % 251 = 5
+                FROM documents WHERE doc_id % 61 = 5
                 UNION ALL
                 SELECT doc_id, text || ' edited v2' AS text
-                FROM documents WHERE doc_id % 251 = 2
+                FROM documents WHERE doc_id % 61 = 2
                 UNION ALL
                 SELECT doc_id + 30000000 AS doc_id,
                        'zz yy xx ww vv uu tt ss rr qq pp oo' AS text
-                FROM documents WHERE doc_id % 251 = 9
+                FROM documents WHERE doc_id % 61 = 9
             ),
             cs AS (SELECT doc_id, {_shingles("text", 3)} AS sh FROM documents),
             sig AS (SELECT doc_id, {sig_cols16} FROM cs),

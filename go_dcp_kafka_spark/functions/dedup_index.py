@@ -248,17 +248,30 @@ def probe_and_verify(
     ``corpus_table`` needs ``.read_keys(keys_df)`` and single-column
     ``.key_cols`` (a ``SnapshotTable`` keyed by ``id_col``). Probe docs
     already present in the corpus contribute their NEW text (the epoch's
-    value wins over the stored row)."""
+    value wins over the stored row). Like ``update_minhash``, the probe
+    set must be KEY-UNIQUE (a snapshot diff's shape): two texts for one
+    probe id would make the verify lookup ambiguous, so a duplicated id
+    is refused loudly."""
     from go_dcp_kafka_spark.functions.dedup_text import jaccard_verify_pairs
 
     (table_key,) = corpus_table.key_cols
+    # poll-sized, but its PLAN can be arbitrary (e.g. a read_changes
+    # manifest diff) — materialize once for the dup guard + signing + union
+    probes = probe_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).localCheckpoint(eager=True)
+    dup = probes.groupBy("doc_id").count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"probe_and_verify: probe set has multiple rows for doc_id="
+            f"{dup[0]['doc_id']}; the probe feed must be key-unique per epoch"
+        )
     cand = probe_near_dups(
-        spark, path, probe_docs, text_col=text_col, id_col=id_col
+        spark, path, probes, text_col="text", id_col="doc_id"
     ).localCheckpoint(eager=True)  # poll-sized; reused for keys + pairs
     if not cand.limit(1).count():
         id_t = probe_docs.schema[id_col].dataType.simpleString()
         return spark.createDataFrame([], f"a_id {id_t}, b_id {id_t}, jaccard double")
-    probes = probe_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     matches = corpus_table.read_keys(
         cand.select(F.col("match_id").alias(table_key)).distinct()
     ).select(F.col(table_key).alias("doc_id"), F.col(text_col).alias("text"))

@@ -197,6 +197,14 @@ def test_probe_and_verify_end_to_end(spark, tmp_path, corpus_table):
     empty = t.read_keys(spark.createDataFrame([], "doc_id long"))
     assert empty.count() == 0 and set(t.read().columns) == set(empty.columns)
 
+    # a duplicated probe id means two texts for one key — ambiguous verify
+    # lookup; refused loudly like update_minhash's feed contract
+    dup = spark.createDataFrame(
+        [(999, "a b c"), (999, "d e f")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="key-unique"):
+        probe_and_verify(spark, idx, dup, t)
+
 
 def test_duplicate_key_feed_refused(spark, tmp_path):
     """A feed with two rows for one doc would land BOTH texts' band rows —
