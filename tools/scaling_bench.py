@@ -57,7 +57,7 @@ def run_once(cpus: int, n_events: int, modes: tuple = ("batch", "cow", "mor")) -
 
 def run(cpus: int, n_events: int, reps: int = 2) -> dict:
     """Best-of-``reps`` steady-state runs (separate JVMs). Each bench run is
-    already steady-state internally (last of 3 in-process reps for batch;
+    already steady-state internally (best post-warmup rep of 3 for batch;
     warmed streaming plans); repeating the whole JVM and keeping the
     per-mode best filters the host's minute-to-minute speed drift, applied
     SYMMETRICALLY at both parallelism levels."""
@@ -184,7 +184,7 @@ Deterministic synthetic log: duplicates + rollback + schema evolution + hot
 keys + text normalization. Input: {r_lo["n_events"]:,} change events ->
 {r_lo["final_rows"]:,} final table rows. Same input at both parallelism levels.
 Each number is the BEST OF 2 steady-state runs (separate JVMs per run; each
-run internally reports the last of 3 warmed reps for batch), applied
+run internally reports the best post-warmup rep of 3 for batch), applied
 symmetrically at both levels — the round-1 methodology committed one cold
 sample and under-reported its own 0.79-0.83 steady-state probe. Runs are
 INTERLEAVED across the two levels (N, 4N, N, 4N) so the host's minute-scale
