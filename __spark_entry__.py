@@ -737,6 +737,55 @@ def q_doc_probe_verify(spark, sf_dir):
     return probe_and_verify(spark, idx, probe, t, threshold=0.5)
 
 
+def q_doc_vocab_ivm(spark, sf_dir):
+    """CDC-maintained vocabulary (functions/corpus.py maintain_vocab): the
+    IVM contribution machinery (operators/ivm.py) composed through the
+    tokenizer FLAT-MAP — a (word → document-frequency) view tracks the
+    corpus table across a CDC epoch at O(changed docs × their tokens):
+    before-images retract −1 per distinct token, after-images apply +1,
+    net-zero words (an edit keeping the word) never reach the probe/merge,
+    words whose df hits 0 are deleted. The oracle recomputes the vocabulary
+    from the FINAL corpus state, so the hash match IS incremental≡rebuild
+    at driver level."""
+    import tempfile
+
+    from go_dcp_kafka_spark.functions.corpus import maintain_vocab
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    anchor = os.path.join(tempfile.gettempdir(), "gdks_anchor")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = SnapshotTable(
+        spark, _scratch_table_dir(anchor, "vocab_docs"), ("doc_id",), num_buckets=8
+    )
+    t.overwrite(docs, epoch_id="vd0")
+    vt = SnapshotTable(
+        spark, _scratch_table_dir(anchor, "vocab_view"), ("word",), num_buckets=8
+    )
+    words = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[^\s]+"), 0)
+    )
+    vt.overwrite(
+        t.read()
+        .select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("df")),
+        epoch_id="vv0",
+    )
+    v1 = t.version()
+    ups = docs.filter(F.col("doc_id") % 13 == 3).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
+    )
+    ins = docs.filter(F.col("doc_id") % 13 == 11).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    dels = docs.filter(F.col("doc_id") % 13 == 7).select("doc_id")
+    upserts = ups.unionByName(ins)
+    t.merge_mor(upserts, dels, epoch_id="vd1", n_updates=upserts.count())
+    maintain_vocab(vt, t, v1, epoch_id="vm1")
+    return vt.read().select("word", F.col("df").cast("long").alias("df"))
+
+
 def q_doc_vocab_topk(spark, sf_dir):
     """Vocabulary building: top-50 tokens by document frequency (one vote
     per doc per distinct token) — one shuffle + TakeOrderedAndProject."""
@@ -1104,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_index": q_doc_minhash_index,
         "doc_probe_verify": q_doc_probe_verify,
         "doc_vocab_topk": q_doc_vocab_topk,
+        "doc_vocab_ivm": q_doc_vocab_ivm,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_split_assign": q_doc_split_assign,
         "doc_contamination": q_doc_contamination,
@@ -1726,6 +1776,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN losers l ON d.doc_id = l.doc_id
             JOIN q ON d.doc_id = q.doc_id
             WHERE l.doc_id IS NULL AND q.quality >= 0.4
+        """,
+        "doc_vocab_ivm": f"""
+            WITH final AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 3 THEN text || ' updated' ELSE text END AS text
+                FROM documents WHERE doc_id % 13 <> 7
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, 'new ' || text AS text
+                FROM documents WHERE doc_id % 13 = 11
+            )
+            SELECT word, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT doc_id, unnest(list_distinct({_words("text")})) AS word FROM final)
+            GROUP BY word
         """,
         "doc_vocab_topk": f"""
             SELECT word, count(*) AS df

@@ -47,6 +47,69 @@ def vocab_topk(docs: DataFrame, text_col: str = "text", k: int = 50) -> DataFram
     )
 
 
+def vocab_deltas(
+    changes: DataFrame,
+    text_col: str = "text",
+    before_col: str = "_before",
+    change_col: str = "_change",
+) -> DataFrame:
+    """Per-word DOCUMENT-frequency deltas from a before/after change feed
+    (``read_changes(..., include_old=True)``) — the IVM contribution step
+    (operators/ivm.py) composed through the tokenizer flat-map: every
+    after-image applies +1 per distinct token, every before-image retracts
+    −1 per distinct token (same tokenization as :func:`vocab_topk`, so the
+    maintained view and the from-scratch statistic agree exactly).
+
+    One map-side-combinable shuffle on ``word`` — a Zipf-hot stopword's
+    ±1s combine locally instead of routing every contribution row to one
+    task. Words whose net delta is 0 (a doc edit that KEEPS the word —
+    the overwhelmingly common case for small edits) are dropped here, so
+    the downstream probe/merge never touches their groups."""
+
+    def words(c):
+        return F.array_distinct(F.regexp_extract_all(F.lower(c), F.lit(WS_TOKEN_RE), 0))
+
+    after = changes.filter(F.col(change_col) != "delete").select(
+        F.explode(words(F.col(text_col))).alias("word"), F.lit(1).alias("_c")
+    )
+    before = changes.filter(F.col(before_col).isNotNull()).select(
+        F.explode(words(F.col(before_col)[text_col])).alias("word"),
+        F.lit(-1).alias("_c"),
+    )
+    return (
+        after.unionByName(before)
+        .groupBy("word")
+        .agg(F.sum("_c").cast("long").alias("_d_count"))
+        .filter(F.col("_d_count") != 0)
+    )
+
+
+def maintain_vocab(
+    vocab_table,
+    base_table,
+    from_version: int,
+    text_col: str = "text",
+    count_col: str = "df",
+    epoch_id: str | None = None,
+) -> dict:
+    """One maintenance cycle for a CDC-tracked vocabulary table (keyed by
+    ``word``, carrying ``count_col`` = document frequency): everything that
+    happened to ``base_table`` since ``from_version`` folds into the view
+    at O(changed docs × their tokens) — changelog read (manifest-pruned)
+    → :func:`vocab_deltas` → pruned ``read_keys`` probe + keyed merge
+    (words reaching df=0 are deleted, new words appear). The single-
+    maintainer contract of ``maintain_agg`` applies."""
+    from go_dcp_kafka_spark.operators.ivm import apply_agg_deltas
+
+    ch = base_table.read_changes(from_version=from_version, include_old=True)
+    return apply_agg_deltas(
+        vocab_table,
+        vocab_deltas(ch, text_col=text_col),
+        count_col=count_col,
+        epoch_id=epoch_id if epoch_id is not None else f"vocab-{base_table.version()}",
+    )
+
+
 def split_assign(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -437,3 +437,82 @@ def test_ivm_minmax_property_random_epochs(spark, tmp_path_factory, eps):
         )
         maintain_agg(base, agg, v, ["g"], ["x"], min_cols=["x"], max_cols=["x"], epoch_id=f"m{i}")
         assert _mm_state(agg.read()) == _mm_state(_mm_scratch(base)), f"diverged at epoch {i}: {eps}"
+
+
+def _vocab_scratch(docs_df):
+    words = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[^\s]+"), 0)
+    )
+    return {
+        r["word"]: r["df"]
+        for r in docs_df.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+
+
+def test_maintain_vocab_equals_rebuild(spark, tmp_path):
+    """The IVM layer composed through the tokenizer FLAT-MAP: a CDC-tracked
+    vocabulary table (word -> document frequency) maintained from
+    before/after images equals the from-scratch statistic after every
+    epoch. Pins the cross-row delta arithmetic: an edit that keeps a word
+    and an insert+delete pair that cancel a word's df both produce NO
+    delta row for it; a word whose last doc disappears is deleted from the
+    view; a brand-new word appears."""
+    from go_dcp_kafka_spark.functions.corpus import maintain_vocab, vocab_deltas
+
+    docs = SnapshotTable(spark, str(tmp_path / "docs"), ("doc_id",), num_buckets=4)
+    rows = [(i, f"common w{i % 5} u{i}") for i in range(30)]
+    docs.overwrite(
+        spark.createDataFrame(rows, "doc_id long, text string"), epoch_id="d0"
+    )
+    vocab = SnapshotTable(spark, str(tmp_path / "vocab"), ("word",), num_buckets=4)
+    scratch0 = _vocab_scratch(docs.read())
+    vocab.overwrite(
+        spark.createDataFrame(
+            [(w, n) for w, n in scratch0.items()], "word string, df long"
+        ),
+        epoch_id="v0",
+    )
+
+    # epoch 1 (MOR / appended-delta feed path): edit doc 1 keeping
+    # common+w1 (net-zero for both), delete doc 2 (-1 for its words),
+    # insert doc 100 with a brand-new word (+1) — common nets to exactly 0
+    # across the three rows (0 + -1 + +1)
+    v = docs.version()
+    docs.merge_mor(
+        spark.createDataFrame(
+            [(1, "common w1 edited1"), (100, "common brandnew")],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame([(2,)], "doc_id long"),
+        epoch_id="d1",
+        n_updates=3,
+    )
+    feed = docs.read_changes(from_version=v, include_old=True)
+    dwords = {r["word"]: r["_d_count"] for r in vocab_deltas(feed).collect()}
+    assert "common" not in dwords and "w1" not in dwords, dwords
+    assert dwords["u1"] == -1 and dwords["edited1"] == 1
+    assert dwords["brandnew"] == 1 and dwords["u2"] == -1
+    maintain_vocab(vocab, docs, v, epoch_id="m1")
+    assert _vocab_scratch(docs.read()) == {
+        r["word"]: r["df"] for r in vocab.read().collect()
+    }
+    # u2's last (only) doc is gone: the view must NOT carry a df=0 row
+    assert vocab.read().filter(F.col("word") == "u2").count() == 0
+
+    # epoch 2 (COW merge => generic manifest-diff feed path): migrate doc 3
+    # entirely to new words and re-insert a doc with u2's word
+    v = docs.version()
+    docs.merge(
+        spark.createDataFrame(
+            [(3, "fresh only"), (101, "u2 returns")], "doc_id long, text string"
+        ),
+        None,
+        epoch_id="d2",
+    )
+    maintain_vocab(vocab, docs, v, epoch_id="m2")
+    assert _vocab_scratch(docs.read()) == {
+        r["word"]: r["df"] for r in vocab.read().collect()
+    }
