@@ -135,6 +135,27 @@ def main() -> None:
         f"(exact before-image location: {res['exact_old_location']}), "
         f"near-dup candidates introduced: {cand.count()}"
     )
+
+    # 7. The vocabulary TRACKS the table too: vocab_deltas is key-agnostic
+    #    (it reads only text/_before/_change), so the same changes poll
+    #    maintains a (word -> document frequency) view at O(changed turns)
+    from go_dcp_kafka_spark.functions.corpus import maintain_vocab
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    words = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit(r"[^\s]+"), 0)
+    )
+    vocab = SnapshotTable(spark, f"{work}/vocab", ("word",), num_buckets=4)
+    vocab.overwrite(
+        t.read(t._manifest_at(v)).select(F.explode(words).alias("word"))
+        .groupBy("word").agg(F.count("*").cast("long").alias("df")),
+        epoch_id="vocab-base",
+    )
+    vres = maintain_vocab(vocab, t, v, epoch_id="vocab-edits")
+    print(
+        f"vocab maintained from the same poll: {vocab.read().count()} words "
+        f"(merge touched buckets: {vres.get('touched_buckets', 'n/a')})"
+    )
     spark.stop()
 
 
