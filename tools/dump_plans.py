@@ -268,6 +268,29 @@ def main() -> None:
         "the corpus nor the index is ever scanned in full.",
     )
 
+    from go_dcp_kafka_spark.functions.corpus import vocab_deltas
+
+    pv_v = pv_t.version()
+    pv_t.merge_mor(
+        corpus.filter(F.col("doc_id") == 5).select(
+            "doc_id", F.concat("text", F.lit(" extra")).alias("text")
+        ),
+        None,
+        epoch_id="p1",
+        n_updates=1,
+    )
+    cap(
+        "Vocabulary maintenance deltas (IVM through the tokenizer flat-map)",
+        vocab_deltas(pv_t.read_changes(pv_v, include_old=True)),
+        "After-images explode to +1 per distinct token, before-images to "
+        "−1, then the SAME partial+final HashAggregate pair as the group-"
+        "delta plan above — a stopword's ±1s combine map-side. The trailing "
+        "Filter drops net-zero words (an edit keeping a word), so "
+        "apply_agg_deltas' probe/merge never touches their groups: the "
+        "common small-edit epoch maintains a 10^8-word vocabulary by "
+        "touching a handful of word rows.",
+    )
+
     out = (
         "# PLANS — physical plans of the core operators (captured from .explain)\n\n"
         "Regenerate: `python tools/dump_plans.py` (this file).\n\n" + "\n".join(sections)
