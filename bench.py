@@ -198,11 +198,14 @@ def main() -> None:
         # measures the read-optimized mode on purpose)
         # two reps per stream mode, min reported (plans are warmed above, so
         # both reps are steady-state; as with batch, interference can only
-        # inflate a rep — raw walls disclosed alongside)
+        # inflate a rep — raw walls disclosed alongside). BENCH_STREAM_REPS
+        # overrides: scaling_bench sets 1 so its N/4N interleave spans
+        # minutes, not tens of minutes (it already best-of-2s across JVMs)
+        s_reps = int(os.environ.get("BENCH_STREAM_REPS", "2"))
         stream_sec = stream_mor_sec = None
         stream_secs, stream_mor_secs = [], []
         if "cow" in modes:
-            for i in range(2):
+            for i in range(s_reps):
                 t0 = time.time()
                 spipe = CdcPipeline(
                     spark, os.path.join(work, f"tbl_stream{i}"), num_buckets=n_buckets,
@@ -214,7 +217,7 @@ def main() -> None:
 
         # ---- streaming replay, merge-on-read (the frequent-epoch path) ----
         if "mor" in modes:
-            for i in range(2):
+            for i in range(s_reps):
                 t0 = time.time()
                 mpipe = CdcPipeline(
                     spark, os.path.join(work, f"tbl_mor{i}"), num_buckets=n_buckets,

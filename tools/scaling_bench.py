@@ -38,6 +38,10 @@ def run_once(cpus: int, n_events: int, modes: tuple = ("batch", "cow", "mor")) -
         BENCH_EVENTS=str(n_events),
         BENCH_SKIP_QUERIES="1",
         BENCH_MODES=",".join(modes),
+        # one in-JVM stream rep: this script already best-of-2s across
+        # JVMs, and a tight N/4N interleave matters more than a third
+        # sample (minute-scale drift is the enemy here)
+        BENCH_STREAM_REPS="1",
     )
     # taskset pins the WHOLE process (Spark task threads AND JVM GC/IO/
     # native parquet threads) to exactly N cores — without it, local[1]
