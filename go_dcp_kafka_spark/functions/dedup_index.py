@@ -232,10 +232,11 @@ def probe_and_verify(
     spark,
     path: str,
     probe_docs: DataFrame,
-    corpus_table,
+    corpus_table=None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    fetch_texts=None,
 ) -> DataFrame:
     """The complete per-epoch duplicate check, O(changed) end to end:
     LSH candidates partition-pruned from the index
@@ -246,15 +247,23 @@ def probe_and_verify(
     jaccard ≥ threshold).
 
     ``corpus_table`` needs ``.read_keys(keys_df)`` and single-column
-    ``.key_cols`` (a ``SnapshotTable`` keyed by ``id_col``). Probe docs
-    already present in the corpus contribute their NEW text (the epoch's
-    value wins over the stored row). Like ``update_minhash``, the probe
-    set must be KEY-UNIQUE (a snapshot diff's shape): two texts for one
-    probe id would make the verify lookup ambiguous, so a duplicated id
-    is refused loudly."""
+    ``.key_cols`` (a ``SnapshotTable`` keyed by ``id_col``). For a corpus
+    whose table is keyed differently (composite keys, derived doc ids),
+    pass ``fetch_texts`` instead: a callable taking a poll-sized
+    ``(doc_id)`` frame of candidate ids and returning ``(doc_id,
+    <text_col>)`` for them — it should point-fetch (e.g. split a
+    reversible derived id
+    back into the table's keys and call ``read_keys``), never scan.
+    Exactly one of ``corpus_table`` / ``fetch_texts`` is required.
+    Probe docs already present in the corpus contribute their NEW text
+    (the epoch's value wins over the stored row). Like ``update_minhash``,
+    the probe set must be KEY-UNIQUE (a snapshot diff's shape): two texts
+    for one probe id would make the verify lookup ambiguous, so a
+    duplicated id is refused loudly."""
     from go_dcp_kafka_spark.functions.dedup_text import jaccard_verify_pairs
 
-    (table_key,) = corpus_table.key_cols
+    if (corpus_table is None) == (fetch_texts is None):
+        raise ValueError("pass exactly one of corpus_table / fetch_texts")
     # poll-sized, but its PLAN can be arbitrary (e.g. a read_changes
     # manifest diff) — materialize once for the dup guard + signing + union
     probes = probe_docs.select(
@@ -272,9 +281,14 @@ def probe_and_verify(
     if not cand.limit(1).count():
         id_t = probe_docs.schema[id_col].dataType.simpleString()
         return spark.createDataFrame([], f"a_id {id_t}, b_id {id_t}, jaccard double")
-    matches = corpus_table.read_keys(
-        cand.select(F.col("match_id").alias(table_key)).distinct()
-    ).select(F.col(table_key).alias("doc_id"), F.col(text_col).alias("text"))
+    cand_ids = cand.select(F.col("match_id").alias("doc_id")).distinct()
+    if fetch_texts is not None:
+        matches = fetch_texts(cand_ids).select("doc_id", F.col(text_col).alias("text"))
+    else:
+        (table_key,) = corpus_table.key_cols
+        matches = corpus_table.read_keys(
+            cand_ids.select(F.col("doc_id").alias(table_key))
+        ).select(F.col(table_key).alias("doc_id"), F.col(text_col).alias("text"))
     # union, probe text winning for ids on both sides
     docs = probes.unionByName(matches.join(probes.select("doc_id"), "doc_id", "left_anti"))
     pairs = cand.select(F.col("probe_id").alias("a_id"), F.col("match_id").alias("b_id"))

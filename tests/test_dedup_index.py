@@ -348,3 +348,54 @@ def test_update_after_update_composes(spark, tmp_path, corpus_table):
     rebuilt = str(tmp_path / "mh_full")
     materialize_minhash(t.read(), rebuilt, num_parts=8)
     assert _index_rows(spark, idx) == _index_rows(spark, rebuilt)
+
+
+def test_probe_and_verify_composite_key_fetch(spark, tmp_path):
+    """A corpus living in a COMPOSITE-key table (the transcripts shape —
+    keyed (conv_id, turn_idx)) uses probe_and_verify via fetch_texts: the
+    index's doc_id is the reversible string 'conv#turn', and the callable
+    splits candidate ids back into typed keys for the bucket-pruned
+    read_keys point fetch. The planted near-dup is found end to end, and
+    passing both / neither of corpus_table and fetch_texts is refused."""
+    from go_dcp_kafka_spark.functions.dedup_index import probe_and_verify
+
+    rows = [(f"c{i % 7}", i // 7, _text(i)) for i in range(60)]
+    t = SnapshotTable(
+        spark, str(tmp_path / "tr"), ("conv_id", "turn_idx"), num_buckets=4
+    )
+    t.overwrite(
+        spark.createDataFrame(rows, "conv_id string, turn_idx int, text string"),
+        epoch_id="t0",
+    )
+    doc_id = F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+    idx = str(tmp_path / "mh")
+    materialize_minhash(
+        t.read().select(doc_id.alias("doc_id"), "text"), idx, num_parts=16
+    )
+
+    def fetch(ids_df):
+        keys = ids_df.select(
+            F.split_part("doc_id", F.lit("#"), F.lit(1)).alias("conv_id"),
+            F.split_part("doc_id", F.lit("#"), F.lit(2)).cast("int").alias("turn_idx"),
+        )
+        return t.read_keys(keys).select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+            "text",
+        )
+
+    probe = spark.createDataFrame(
+        [("probe#0", _near_dup_of(10))], "doc_id string, text string"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in probe_and_verify(
+            spark, idx, probe, fetch_texts=fetch, threshold=0.5
+        ).collect()
+    }
+    # doc 10 lives at conv c3 turn 1
+    assert ("probe#0", "c3#1") in got and got[("probe#0", "c3#1")] >= 0.5
+
+    with pytest.raises(ValueError, match="exactly one"):
+        probe_and_verify(spark, idx, probe)
+    with pytest.raises(ValueError, match="exactly one"):
+        probe_and_verify(spark, idx, probe, corpus_table=t, fetch_texts=fetch)
