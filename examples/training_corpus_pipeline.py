@@ -85,13 +85,15 @@ def main() -> None:
     #    are probed for introduced duplicates (partition-pruned read).
     from go_dcp_kafka_spark.functions.dedup_index import (
         materialize_minhash,
+        probe_and_verify,
         probe_near_dups,
         update_minhash,
     )
-    from go_dcp_kafka_spark.functions.hashing import md5_hash60
 
     t = pipe.tables["transcripts"]
-    key = md5_hash60(F.concat_ws("#", "conv_id", F.col("turn_idx")))
+    # REVERSIBLE derived doc id (conv#turn): lets probe_and_verify split a
+    # candidate id back into the composite key for a bucket-pruned fetch
+    key = F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
     txt = F.coalesce(F.col("text"), F.lit(""))
 
     def as_docs(df):
@@ -130,10 +132,23 @@ def main() -> None:
     )
     res = update_minhash(spark, idx, feed)
     cand = probe_near_dups(spark, idx, feed.filter(F.col("_change") != "delete"))
+
+    def fetch(ids_df):
+        keys = ids_df.select(
+            F.split_part("doc_id", F.lit("#"), F.lit(1)).alias("conv_id"),
+            F.split_part("doc_id", F.lit("#"), F.lit(2)).cast("int").alias("turn_idx"),
+        )
+        return t.read_keys(keys).select(key.alias("doc_id"), txt.alias("text"))
+
+    verified = probe_and_verify(
+        spark, idx, feed.filter(F.col("_change") != "delete").select("doc_id", "text"),
+        fetch_texts=fetch, threshold=0.8,
+    )
     print(
         f"edit epoch: {len(res['affected_parts'])}/16 band partitions rewritten "
         f"(exact before-image location: {res['exact_old_location']}), "
-        f"near-dup candidates introduced: {cand.count()}"
+        f"near-dup candidates introduced: {cand.count()}, "
+        f"jaccard-verified >=0.8: {verified.count()}"
     )
 
     # 7. The vocabulary TRACKS the table too: vocab_deltas is key-agnostic
