@@ -516,3 +516,70 @@ def test_maintain_vocab_equals_rebuild(spark, tmp_path):
     assert _vocab_scratch(docs.read()) == {
         r["word"]: r["df"] for r in vocab.read().collect()
     }
+
+
+@st.composite
+def _vocab_epochs(draw):
+    """3-5 CDC epochs over a 12-doc space: texts drawn from a tiny word
+    pool (heavy cross-doc sharing => cross-row delta cancellation),
+    including empty and single-word texts and docs that repeat a word
+    (df counts DOCS, not occurrences); deletes disjoint from upserts;
+    COW/MOR mix."""
+    pool = ["alpha", "beta", "gamma", "delta", "eps"]
+    eps = []
+    for _ in range(draw(st.integers(3, 5))):
+        by_k = {}
+        for _ in range(draw(st.integers(1, 4))):
+            k = draw(st.integers(0, 11))
+            words = draw(st.lists(st.sampled_from(pool), min_size=0, max_size=4))
+            by_k[k] = (k, " ".join(words))
+        ups = list(by_k.values())
+        dels = [
+            d
+            for d in (draw(st.integers(0, 11)) for _ in range(draw(st.integers(0, 2))))
+            if d not in by_k
+        ]
+        eps.append((draw(st.booleans()), ups, sorted(set(dels))))
+    return eps
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(eps=_vocab_epochs())
+def test_vocab_property_random_epochs(spark, tmp_path_factory, eps):
+    """For ANY epoch sequence (word-sharing edits, empty texts, repeated
+    words, delete/re-insert, COW/MOR mix), the maintained vocabulary
+    equals the from-scratch document-frequency statistic after EVERY
+    epoch, and a word's row disappears exactly when its df reaches 0."""
+    from go_dcp_kafka_spark.functions.corpus import maintain_vocab
+
+    root = tmp_path_factory.mktemp("pvoc")
+    docs = SnapshotTable(spark, str(root / "d"), ("doc_id",), num_buckets=2)
+    rows = [(i, f"alpha w{i % 3}") for i in range(6)]
+    docs.overwrite(
+        spark.createDataFrame(rows, "doc_id long, text string"), epoch_id="d0"
+    )
+    vocab = SnapshotTable(spark, str(root / "v"), ("word",), num_buckets=2)
+    vocab.overwrite(
+        spark.createDataFrame(
+            [(w, n) for w, n in _vocab_scratch(docs.read()).items()],
+            "word string, df long",
+        ),
+        epoch_id="v0",
+    )
+    for i, (mor, ups, dels) in enumerate(eps):
+        v = docs.version()
+        mode = docs.merge_mor if mor else docs.merge
+        mode(
+            spark.createDataFrame(ups, "doc_id long, text string"),
+            spark.createDataFrame([(d,) for d in dels], "doc_id long") if dels else None,
+            epoch_id=f"e{i}",
+            n_updates=len(ups) + len(dels),
+        )
+        maintain_vocab(vocab, docs, v, epoch_id=f"m{i}")
+        got = {r["word"]: r["df"] for r in vocab.read().collect()}
+        assert got == _vocab_scratch(docs.read()), f"diverged at epoch {i}: {eps}"
+        assert 0 not in got.values()
