@@ -98,7 +98,10 @@ def maintain_vocab(
     at O(changed docs × their tokens) — changelog read (manifest-pruned)
     → :func:`vocab_deltas` → pruned ``read_keys`` probe + keyed merge
     (words reaching df=0 are deleted, new words appear). The single-
-    maintainer contract of ``maintain_agg`` applies."""
+    maintainer contract of ``maintain_agg`` applies. Reference analog:
+    consumers apply only the appended log segment, never re-reading the
+    topic (/root/reference/kafka/client.go:220-233) — this is that cost
+    model for a derived vocabulary."""
     from go_dcp_kafka_spark.operators.ivm import apply_agg_deltas
 
     ch = base_table.read_changes(from_version=from_version, include_old=True)
