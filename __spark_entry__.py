@@ -786,6 +786,66 @@ def q_doc_vocab_ivm(spark, sf_dir):
     return vt.read().select("word", F.col("df").cast("long").alias("df"))
 
 
+def q_doc_dedup_ivm(spark, sf_dir):
+    """CDC-maintained EXACT-dedup table (dedup_index.maintain_exact_dedup):
+    md5(text) → (n_copies, keeper_id = MIN doc id) tracks the corpus at
+    O(changed docs) — a text edit migrates its doc between hash groups,
+    inserted copies raise n_copies, and deleting a group's keeper while a
+    copy survives exercises the bounded MIN recompute (the epoch below
+    deletes every mod-13=2 doc while inserting a same-text copy at
+    id+2·10^7, so those groups' keepers must move to the copy). The oracle
+    recomputes GROUP BY md5(text) over the FINAL corpus, so the hash match
+    IS incremental≡rebuild at driver level."""
+    import tempfile
+
+    from go_dcp_kafka_spark.functions.dedup_index import maintain_exact_dedup
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    anchor = os.path.join(tempfile.gettempdir(), "gdks_anchor")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = SnapshotTable(
+        spark, _scratch_table_dir(anchor, "xdedup_docs"), ("doc_id",), num_buckets=8
+    )
+    t.overwrite(docs, epoch_id="x0")
+    dt = SnapshotTable(
+        spark, _scratch_table_dir(anchor, "xdedup_table"), ("h",), num_buckets=8
+    )
+    dt.overwrite(
+        t.read()
+        .groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+        ),
+        epoch_id="xd0",
+    )
+    v1 = t.version()
+    ups = (
+        docs.filter(F.col("doc_id") % 13 == 3)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 11).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 2).select(
+                (F.col("doc_id") + 20000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    dels = docs.filter(F.col("doc_id") % 13 == 7).select("doc_id").unionByName(
+        docs.filter(F.col("doc_id") % 13 == 2).select("doc_id")
+    )
+    t.merge_mor(ups, dels, epoch_id="x1", n_updates=ups.count() + dels.count())
+    maintain_exact_dedup(dt, t, v1, epoch_id="xd1")
+    return dt.read().select(
+        "h",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("keeper_id").cast("long").alias("keeper_id"),
+    )
+
+
 def q_doc_vocab_topk(spark, sf_dir):
     """Vocabulary building: top-50 tokens by document frequency (one vote
     per doc per distinct token) — one shuffle + TakeOrderedAndProject."""
@@ -1154,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_probe_verify": q_doc_probe_verify,
         "doc_vocab_topk": q_doc_vocab_topk,
         "doc_vocab_ivm": q_doc_vocab_ivm,
+        "doc_dedup_ivm": q_doc_dedup_ivm,
         "doc_clean_corpus": q_doc_clean_corpus,
         "doc_split_assign": q_doc_split_assign,
         "doc_contamination": q_doc_contamination,
@@ -1776,6 +1837,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN losers l ON d.doc_id = l.doc_id
             JOIN q ON d.doc_id = q.doc_id
             WHERE l.doc_id IS NULL AND q.quality >= 0.4
+        """,
+        "doc_dedup_ivm": """
+            WITH final AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 3 THEN text || ' updated' ELSE text END AS text
+                FROM documents WHERE doc_id % 13 NOT IN (7, 2)
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id % 13 = 11
+                UNION ALL
+                SELECT doc_id + 20000000 AS doc_id, text
+                FROM documents WHERE doc_id % 13 = 2
+            )
+            SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies,
+                   min(doc_id) AS keeper_id
+            FROM final GROUP BY md5(text)
         """,
         "doc_vocab_ivm": f"""
             WITH final AS (

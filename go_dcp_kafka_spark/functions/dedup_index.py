@@ -333,3 +333,110 @@ def probe_near_dups(
         .select("probe_id", F.col("doc_id").alias("match_id"))
         .distinct()
     )
+
+
+def exact_dedup_deltas(
+    changes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    before_col: str = "_before",
+    change_col: str = "_change",
+) -> DataFrame:
+    """Per-content-hash deltas from a before/after change feed — the
+    contribution step for a CDC-MAINTAINED exact-dedup table. Every
+    after-image applies (+1, its doc id) to its ``md5(text)`` group, every
+    before-image retracts (−1, its doc id) from the OLD text's group, so a
+    text edit is a group MIGRATION (retract old hash, apply new). One
+    map-side-combinable shuffle on the hash. Null-text images are not
+    dedup candidates and contribute nothing on either side.
+
+    Output shape feeds :func:`~go_dcp_kafka_spark.operators.ivm.
+    apply_agg_deltas` with ``min_map={'doc_id': 'keeper_id'}``: ``(h,
+    _d_count, _a_min_doc_id, _r_min_doc_id)``. Rows where both the count
+    and the min-evidence fully cancel (a text-identical rewrite) are
+    dropped — the common no-op epoch touches no groups."""
+    w = F.col("_w")
+    after = changes.filter(
+        (F.col(change_col) != "delete") & F.col(text_col).isNotNull()
+    ).select(
+        F.md5(F.col(text_col)).alias("h"),
+        F.col(id_col).alias("doc_id"),
+        F.lit(1).alias("_w"),
+    )
+    before = changes.filter(
+        F.col(before_col).isNotNull() & F.col(f"{before_col}.{text_col}").isNotNull()
+    ).select(
+        F.md5(F.col(f"{before_col}.{text_col}")).alias("h"),
+        F.col(id_col).alias("doc_id"),
+        F.lit(-1).alias("_w"),
+    )
+    d = (
+        after.unionByName(before)
+        .groupBy("h")
+        .agg(
+            F.sum(w).cast("long").alias("_d_count"),
+            F.min(F.when(w == 1, F.col("doc_id"))).alias("_a_min_doc_id"),
+            F.min(F.when(w == -1, F.col("doc_id"))).alias("_r_min_doc_id"),
+        )
+    )
+    return d.filter(
+        (F.col("_d_count") != 0)
+        | ~F.col("_a_min_doc_id").eqNullSafe(F.col("_r_min_doc_id"))
+    )
+
+
+class _HashedCorpus:
+    """``read()`` adapter handing apply_agg_deltas' bounded MIN recompute a
+    ``(h, doc_id)`` projection of the corpus (the base table has no hash
+    column). The recompute scan stays column-pruned (id + text only) and
+    group-filtered by the broadcast flag set — it runs only on epochs that
+    delete a group's keeper without the applies re-establishing it."""
+
+    def __init__(self, table, text_col: str, id_col: str):
+        self._t, self._text, self._id = table, text_col, id_col
+
+    def read(self):
+        return (
+            self._t.read()
+            .filter(F.col(self._text).isNotNull())
+            .select(
+                F.md5(F.col(self._text)).alias("h"),
+                F.col(self._id).alias("doc_id"),
+            )
+        )
+
+
+def maintain_exact_dedup(
+    dedup_table,
+    base_table,
+    from_version: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    epoch_id: str | None = None,
+) -> dict:
+    """One maintenance cycle for a CDC-tracked EXACT-dedup table keyed by
+    ``h`` (md5 of text) carrying ``n_copies`` and ``keeper_id`` =
+    MIN(doc id): everything that happened to ``base_table`` since
+    ``from_version`` folds in at O(changed docs) — changelog read
+    (manifest-pruned) → :func:`exact_dedup_deltas` → pruned ``read_keys``
+    probe + keyed merge; hashes reaching 0 copies are deleted. The keeper
+    follows the bounded-recompute MIN rule: deleting a group's keeper
+    while other copies survive triggers one column-pruned, group-filtered
+    corpus scan (reported as ``recomputed_groups``) — unless the epoch's
+    own applies re-establish the minimum. Downstream, \"is doc d a
+    duplicate?\" is a broadcast-able join of d's hash against this table
+    (``keeper_id != d`` ⇒ drop) with no corpus scan. Reference analog:
+    consumers apply only the appended log segment
+    (/root/reference/kafka/client.go:220-233). Single-maintainer contract
+    as in ``maintain_agg``."""
+    from go_dcp_kafka_spark.operators.ivm import apply_agg_deltas
+
+    ch = base_table.read_changes(from_version=from_version, include_old=True)
+    return apply_agg_deltas(
+        dedup_table,
+        exact_dedup_deltas(ch, text_col=text_col, id_col=id_col),
+        count_col="n_copies",
+        min_map={"doc_id": "keeper_id"},
+        base_table=_HashedCorpus(base_table, text_col, id_col),
+        epoch_id=epoch_id if epoch_id is not None else f"xdedup-{base_table.version()}",
+    )

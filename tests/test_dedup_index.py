@@ -399,3 +399,93 @@ def test_probe_and_verify_composite_key_fetch(spark, tmp_path):
         probe_and_verify(spark, idx, probe)
     with pytest.raises(ValueError, match="exactly one"):
         probe_and_verify(spark, idx, probe, corpus_table=t, fetch_texts=fetch)
+
+
+def test_maintain_exact_dedup_tracks_corpus(spark, tmp_path):
+    """CDC-maintained EXACT-dedup table (md5(text) -> n_copies, keeper_id =
+    MIN doc id): a text edit migrates a doc between hash groups, deleting
+    a group's KEEPER with survivors triggers exactly one bounded MIN
+    recompute (reported), a fully-deleted group leaves the table, a
+    text-identical rewrite produces an empty delta set, and after every
+    epoch the table equals a from-scratch GROUP BY over the corpus."""
+    from go_dcp_kafka_spark.functions.dedup_index import (
+        exact_dedup_deltas,
+        maintain_exact_dedup,
+    )
+
+    def scratch(t):
+        return {
+            (r["h"]): (r["n_copies"], r["keeper_id"])
+            for r in t.read()
+            .filter(F.col("text").isNotNull())
+            .groupBy(F.md5("text").alias("h"))
+            .agg(
+                F.count("*").cast("long").alias("n_copies"),
+                F.min("doc_id").alias("keeper_id"),
+            )
+            .collect()
+        }
+
+    # 10 docs in 4 content groups: g0={0,4,8} g1={1,5,9} g2={2,6} g3={3,7}
+    docs = spark.createDataFrame(
+        [(i, _text(i % 4)) for i in range(10)], "doc_id long, text string"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "docs"), ("doc_id",), num_buckets=4)
+    t.overwrite(docs, epoch_id="x0")
+    dt = SnapshotTable(spark, str(tmp_path / "dedup"), ("h",), num_buckets=4)
+    dt.overwrite(
+        spark.createDataFrame(
+            [(h, n, k) for h, (n, k) in scratch(t).items()],
+            "h string, n_copies long, keeper_id long",
+        ),
+        epoch_id="dd0",
+    )
+
+    # epoch 1: delete g0's keeper (0; survivors 4,8 -> bounded recompute),
+    # migrate doc 5 from g1 to g2's content, insert a brand-new text
+    v = t.version()
+    t.merge_mor(
+        spark.createDataFrame(
+            [(5, _text(2)), (100, "totally new content here")],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame([(0,)], "doc_id long"),
+        epoch_id="x1",
+        n_updates=3,
+    )
+    res = maintain_exact_dedup(dt, t, v, epoch_id="dd1")
+    assert res["recomputed_groups"] == 1, res
+    got = {r["h"]: (r["n_copies"], r["keeper_id"]) for r in dt.read().collect()}
+    assert got == scratch(t)
+    # g0's keeper moved to the surviving minimum
+    import hashlib
+
+    g0h = hashlib.md5(_text(0).encode()).hexdigest()
+    assert got[g0h] == (2, 4)
+
+    # a text-identical rewrite is a no-op: empty delta set
+    v = t.version()
+    t.merge_mor(
+        spark.createDataFrame([(1, _text(1))], "doc_id long, text string"),
+        None,
+        epoch_id="x2",
+        n_updates=1,
+    )
+    d = exact_dedup_deltas(t.read_changes(v, include_old=True))
+    assert d.count() == 0
+    res = maintain_exact_dedup(dt, t, v, epoch_id="dd2")
+    assert res["recomputed_groups"] == 0
+    assert {r["h"]: (r["n_copies"], r["keeper_id"]) for r in dt.read().collect()} == scratch(t)
+
+    # epoch 3 (COW path): delete ALL of g3 -> its hash leaves the table
+    v = t.version()
+    t.merge(
+        spark.createDataFrame([], "doc_id long, text string"),
+        spark.createDataFrame([(3,), (7,)], "doc_id long"),
+        epoch_id="x3",
+    )
+    maintain_exact_dedup(dt, t, v, epoch_id="dd3")
+    final = {r["h"]: (r["n_copies"], r["keeper_id"]) for r in dt.read().collect()}
+    assert final == scratch(t)
+    g3h = hashlib.md5(_text(3).encode()).hexdigest()
+    assert g3h not in final
