@@ -69,17 +69,19 @@ def _load_params(path: str) -> dict:
         return json.load(f)
 
 
-_INDEX_SCHEMA = "doc_id long, band_id int, band_key long, part int"
-
-
-def _read_index(spark, index_dir: str) -> DataFrame:
+def _read_index(spark, index_dir: str, p: dict) -> DataFrame:
     """Empty-safe index read: a fully-emptied index (every doc deleted, or
     materialized over zero docs) has NO part= dirs, and a bare
     spark.read.parquet would fail schema inference — the next epoch's
-    inserts must still apply."""
+    inserts must still apply. The empty frame's doc_id type comes from
+    ``params.json`` (recorded at materialize time): the index supports
+    string/derived doc ids, and a hardcoded ``long`` would make the next
+    epoch's union/anti-join coerce or fail under ANSI for a string-keyed
+    index that emptied (r5 ADVICE)."""
     if any(d.startswith("part=") for d in os.listdir(index_dir)):
         return spark.read.parquet(index_dir)
-    return spark.createDataFrame([], _INDEX_SCHEMA)
+    id_t = p.get("doc_id_type", "long")
+    return spark.createDataFrame([], f"doc_id {id_t}, band_id int, band_key long, part int")
 
 
 def _write_index(rows: DataFrame, index_dir: str, dynamic: bool = False) -> None:
@@ -114,6 +116,9 @@ def materialize_minhash(
         bands=bands,
         shingle_words=shingle_words,
         num_parts=num_parts,
+        # the empty-index fallback frame must reproduce the indexed id type
+        # (string/derived ids are first-class — r5 ADVICE)
+        doc_id_type=docs.schema["doc_id"].dataType.simpleString(),
     )
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "params.json"), "w") as f:
@@ -205,7 +210,7 @@ def update_minhash(
     if not affected:
         return {"affected_parts": [], "emptied_parts": [], "exact_old_location": exact_old}
 
-    index = _read_index(spark, index_dir)
+    index = _read_index(spark, index_dir, p)
     remaining = index.filter(F.col("part").isin(affected)).join(
         F.broadcast(changed_ids), "doc_id", "left_anti"
     )
@@ -321,7 +326,7 @@ def probe_near_dups(
         parts = sorted({r["part"] for r in keys})
     else:  # capped sample is incomplete — re-collect parts alone (≤ num_parts rows)
         parts = sorted(r["part"] for r in pr.select("part").distinct().collect())
-    index = _read_index(spark, os.path.join(path, "index")).filter(F.col("part").isin(parts))
+    index = _read_index(spark, os.path.join(path, "index"), p).filter(F.col("part").isin(parts))
     if len(keys) <= max_keys_pushdown:
         index = index.filter(F.col("band_key").isin(sorted({r["band_key"] for r in keys})))
     probe_side = pr.select(

@@ -26,7 +26,35 @@ sum/count) maintained in a keyed :class:`SnapshotTable`:
 
 MIN/MAX are maintained with the standard BOUNDED-RECOMPUTE rule (they are
 not distributive under deletion — retracting the current extremum requires
-the runner-up, which the aggregate table does not carry):
+the runner-up, which the aggregate table does not carry), plus an optional
+EXTREMA RESERVE (``reserve_r``) that makes the recompute rare instead of
+per-retraction:
+
+- With ``reserve_r=R > 0`` the maintained table carries, per MIN/MAX
+  column, a per-group sorted array ``_rsv_<agg_col>`` of up to R extremal
+  values. Invariant: every group row NOT represented in the reserve lies
+  at-or-beyond the reserve's inner edge (``max`` of a min-reserve /
+  ``min`` of a max-reserve — the WATERMARK), so ``reserve[0]`` is always
+  the true extremum while the reserve is non-empty. A retraction
+  multiset-removes its value from the reserve (a keeper deletion consumes
+  the reserve instead of triggering a scan); an insert joins only if it is
+  at-or-inside the watermark (an above-watermark value may have unseen
+  peers outside the reserve, so absorbing it would break the invariant);
+  a group whose old rows are ALL retracted this epoch ("reborn") rebuilds
+  its reserve exactly from the epoch's R extremal applied values. The
+  full recompute scan fires only when a group's reserve is EXHAUSTED —
+  R extremum-side deletions without replenishment — or when an epoch's
+  per-group retraction list overflows its R-bounded delta array in a way
+  that could still touch the reserve. The reference's consumers never
+  re-read the corpus (/root/reference/kafka/client.go:220-233); the
+  reserve restores that cost model for deletion-heavy feeds (r5 verdict
+  item 1).
+- Per-epoch reserve deltas are BOUNDED: the R smallest/largest applied
+  and retracted values per group are collected with a two-level salted
+  aggregation (partition-local top-R, then a merge of ≤ splits × R
+  elements), so a Zipf-hot group never builds an unbounded buffer.
+
+Without a reserve (``reserve_r=0``, the legacy mode):
 
 - Inserts/updates fold incrementally: ``least/greatest(stored, applied)``
   — skip-null, one expression, no extra IO.
@@ -69,9 +97,14 @@ def agg_deltas(
     struct (null for inserts).
 
     Returns one row per affected group: ``group_cols`` + ``_d_count``
-    (net row-count delta) + ``_d_<c>`` (net SUM(c) delta, SQL null
-    semantics: a null value contributes nothing) for each ``c`` in
-    ``sum_cols``, and for each ``c`` in ``minmax_cols`` the epoch's
+    (net row-count delta) + ``_d_<c>`` (net SUM(c) delta; a null value
+    contributes nothing, and a group whose contributions are ALL null
+    reports a 0 delta — so the maintained sum follows the
+    ``COALESCE(SUM(c), 0)`` contract, NOT plain SQL ``SUM``, which yields
+    NULL for an all-null group: an incremental fold cannot distinguish
+    "no non-null value ever" from "values summed to 0" without carrying a
+    per-group non-null count. Compare against ``COALESCE(SUM(c), 0)`` —
+    the repo's oracles do) for each ``c`` in ``sum_cols``, and for each ``c`` in ``minmax_cols`` the epoch's
     applied/retracted extrema ``_a_min_<c>/_a_max_<c>/_r_min_<c>/_r_max_<c>``
     (min/max over the after-images resp. before-images — all null-skipping,
     all map-side combinable). Plan shape: union of two projections -> ONE
@@ -130,6 +163,9 @@ def apply_agg_deltas(
     probe; groups whose new count is 0 are deleted (an aggregate table
     never holds empty groups — matching a from-scratch GROUP BY, which has
     no row for them). Idempotent per ``epoch_id`` like any other merge.
+    Maintained sums follow ``COALESCE(SUM(c), 0)`` — an all-null group
+    holds 0, not SQL ``SUM``'s NULL (see :func:`agg_deltas`); bootstrap
+    the table with the same coalesce.
 
     MIN/MAX fold incrementally except for groups where a retraction reaches
     the stored extremum AND the epoch's applies don't re-establish it (see

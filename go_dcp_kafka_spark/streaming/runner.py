@@ -520,7 +520,16 @@ class CdcPipeline:
                             # size trigger re-fires every epoch forever while
                             # the delta list grows unbounded (r5 review)
                             table.compact()
-                        n_since = 0
+                            n_since = 0
+                        elif not self.compact_bucket_bytes:
+                            # no per-bucket floor: the size trigger compacted
+                            # everything — same delta-list bound as the count
+                            # trigger, so the counter restarts
+                            n_since = 0
+                        # else: PARTIAL (per-bucket) compact — the counter
+                        # keeps running so the count trigger's FULL compact
+                        # still bounds cold-bucket delta-list length even
+                        # when the size trigger fires every epoch (r5 ADVICE)
                     self._epochs_since_compact[name] = n_since
             finally:
                 if mode != "mor":

@@ -1403,6 +1403,7 @@ class SnapshotTable:
         self._commit_manifest(m)
         return {"version": new_version, "renamed": {old: new}}
 
+    @_locked
     def drop_column(self, name: str) -> dict[str, Any]:
         """METADATA-ONLY column drop (the Iceberg/Delta drop-column analog).
         No data is rewritten: the column is removed from the manifest

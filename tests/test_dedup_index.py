@@ -489,3 +489,39 @@ def test_maintain_exact_dedup_tracks_corpus(spark, tmp_path):
     assert final == scratch(t)
     g3h = hashlib.md5(_text(3).encode()).hexdigest()
     assert g3h not in final
+
+
+def test_emptied_string_keyed_index_accepts_next_epoch(spark, tmp_path):
+    """r5 ADVICE (medium): the index supports string/derived doc ids (the
+    composite-key corpora path indexes 'conv#turn' strings). After an epoch
+    empties a STRING-keyed index, the empty-fallback frame must reproduce
+    the recorded id type — a hardcoded 'doc_id long' would make the next
+    epoch's union coerce (or fail under ANSI) and the probe join long
+    against string."""
+    docs = spark.createDataFrame(
+        [(f"c{i}#0", _text(i)) for i in range(4)], "doc_id string, text string"
+    )
+    idx = str(tmp_path / "mhs")
+    materialize_minhash(docs, idx, num_parts=8)
+    import json
+
+    with open(os.path.join(idx, "params.json")) as f:
+        assert json.load(f)["doc_id_type"] == "string"
+
+    wipe = spark.createDataFrame(
+        [(f"c{i}#0", None, "delete", {"text": _text(i)}) for i in range(4)],
+        "doc_id string, text string, _change string, _before struct<text:string>",
+    )
+    res = update_minhash(spark, idx, wipe)
+    assert res["emptied_parts"]
+
+    refill = spark.createDataFrame(
+        [("c10#0", _text(3), "insert", None), ("c11#0", _near_dup_of(3), "insert", None)],
+        "doc_id string, text string, _change string, _before struct<text:string>",
+    )
+    update_minhash(spark, idx, refill)
+    assert dict(spark.read.parquet(os.path.join(idx, "index")).dtypes)["doc_id"] == "string"
+
+    probe = spark.createDataFrame([("p#0", _text(3))], "doc_id string, text string")
+    got = {(r["probe_id"], r["match_id"]) for r in probe_near_dups(spark, idx, probe).collect()}
+    assert ("p#0", "c10#0") in got

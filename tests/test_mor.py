@@ -293,3 +293,35 @@ def test_size_trigger_falls_back_to_full_compact(spark, tmp_path):
     # every epoch crossed the total-bytes threshold; the unreachable floor
     # must not have left the deltas outstanding
     assert pipe.tables["transcripts"].delta_stats()["n_deltas"] <= 1
+
+
+def test_partial_compact_does_not_defer_full_compact(spark, gen_result, log_info, tmp_path, monkeypatch):
+    """r5 ADVICE: a size-triggered PARTIAL (per-bucket-floor) compact must
+    NOT reset the count trigger's epoch counter — otherwise a size trigger
+    that fires every epoch defers the full compact forever and cold-bucket
+    delta entries accumulate unbounded. With compact_every=2 and a
+    size trigger tripping each epoch, every second compact must be FULL
+    (no min_bucket_bytes)."""
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    calls = []
+
+    def spy(self, min_bucket_bytes=None):
+        calls.append(min_bucket_bytes)
+        # fake a successful partial compact (some bucket qualified) so the
+        # partial path is taken and real deltas keep accumulating — the
+        # size trigger then re-fires every epoch, the ADVICE scenario
+        return {"compacted": [0]}
+
+    monkeypatch.setattr(SnapshotTable, "compact", spy)
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "t"), run_id="morpartial", merge_mode="mor",
+        compact_every=2, compact_delta_bytes=1, compact_bucket_bytes=64,
+    )
+    pipe.run_stream(log_info["dir"], str(tmp_path / "ck"), max_files_per_trigger=2)
+    assert len(calls) >= 3, f"need multiple epochs, got {calls}"
+    # count trigger fires on schedule: the 2nd compact is FULL, and partial
+    # compacts in between never push it out
+    assert calls[0] == 64 and calls[1] is None, calls
+    assert any(c is None for c in calls[1:]), calls
+    assert_frames_equal(pipe.read_table().toPandas(), fold_oracle(gen_result.events))

@@ -396,3 +396,24 @@ def test_lost_latest_pointer_with_expired_v1_heals_by_rescan(spark, tmp_path):
     assert t2.exists(), "committed table reported absent after pointer loss"
     assert t2.version() == 5
     assert {r["k"]: r["v"] for r in t2.read().collect()} == {i: f"v{i}" for i in range(5)}
+
+
+def test_drop_column_retries_occ_conflict(spark, tmp_path, monkeypatch):
+    """drop_column runs under @_locked like every other manifest mutator
+    (r5 ADVICE): a CommitConflictError from a concurrent writer's commit is
+    RETRIED against the fresh manifest, not raised to the caller."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), ("k",), num_buckets=4)
+    t.overwrite(spark.createDataFrame([(1, "a", 2)], ["k", "v", "n"]), epoch_id="b0")
+    orig = SnapshotTable._commit_manifest
+    fails = {"n": 1}
+
+    def flaky(self, m):
+        if fails["n"]:
+            fails["n"] -= 1
+            raise CommitConflictError("simulated concurrent commit")
+        return orig(self, m)
+
+    monkeypatch.setattr(SnapshotTable, "_commit_manifest", flaky)
+    res = t.drop_column("v")
+    assert res["dropped"] == "v" and fails["n"] == 0
+    assert "v" not in t.read().columns
