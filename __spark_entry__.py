@@ -367,14 +367,16 @@ def q_cdc_ivm_agg(spark, sf_dir):
     maintained from ``read_changes(include_old=True)`` before/after images
     instead of being recomputed: retract-from-old-group + apply-to-new-group
     contributions, ONE map-side-combined shuffle, pruned read_keys probe,
-    keyed merge — O(changed) end-to-end. MIN/MAX use the bounded-recompute
-    rule (incremental least/greatest; a group-filtered recompute only when a
-    retraction hits the stored extremum without the applies re-establishing
-    it). The returned table was built INCREMENTALLY; the oracle recomputes
-    the aggregate from scratch over the folded final state, so a hash match
-    proves the maintenance arithmetic on both paths."""
+    keyed merge — O(changed) end-to-end. MIN/MAX are maintained with the r6
+    EXTREMA RESERVE (reserve_r=4: per-group arrays of the 4 extremal
+    values, bootstrapped by bootstrap_agg): a retraction of the stored
+    extremum consumes the reserve instead of triggering the group-filtered
+    recompute scan, which fires only when R extremum-side deletions exhaust
+    a reserve. The returned table was built INCREMENTALLY; the oracle
+    recomputes the aggregate from scratch over the folded final state, so a
+    hash match proves the maintenance arithmetic on both paths."""
     from go_dcp_kafka_spark.gen import materialize_changes_fixture
-    from go_dcp_kafka_spark.operators.ivm import maintain_agg
+    from go_dcp_kafka_spark.operators.ivm import bootstrap_agg, maintain_agg
     from go_dcp_kafka_spark.table.snapshot import SnapshotTable
 
     path = materialize_changes_fixture()
@@ -386,11 +388,8 @@ def q_cdc_ivm_agg(spark, sf_dir):
     t.overwrite(base, epoch_id="i0")
     a = SnapshotTable(spark, _scratch_table_dir(path, "ivm_agg"), ("g",), num_buckets=2)
     a.overwrite(
-        t.read().groupBy("g").agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.sum("n").cast("long").alias("sum_n"),
-            F.min("n").cast("long").alias("min_n"),
-            F.max("n").cast("long").alias("max_n"),
+        bootstrap_agg(
+            t.read(), ["g"], sum_cols=["n"], min_cols=["n"], max_cols=["n"], reserve_r=4
         ),
         epoch_id="a0",
     )
@@ -403,7 +402,9 @@ def q_cdc_ivm_agg(spark, sf_dir):
         epoch_id="i1",
         n_updates=ops.count(),
     )
-    maintain_agg(t, a, v1, ["g"], ["n"], min_cols=["n"], max_cols=["n"], epoch_id="ivm1")
+    maintain_agg(
+        t, a, v1, ["g"], ["n"], min_cols=["n"], max_cols=["n"], epoch_id="ivm1", reserve_r=4
+    )
     return a.read().select(
         "g",
         F.col("n_rows").cast("long").alias("n_rows"),
@@ -791,14 +792,19 @@ def q_doc_dedup_ivm(spark, sf_dir):
     md5(text) → (n_copies, keeper_id = MIN doc id) tracks the corpus at
     O(changed docs) — a text edit migrates its doc between hash groups,
     inserted copies raise n_copies, and deleting a group's keeper while a
-    copy survives exercises the bounded MIN recompute (the epoch below
+    copy survives PROMOTES the next id from the r6 keeper RESERVE
+    (reserve_r=4 via bootstrap_exact_dedup — the corpus scan fires only
+    when R keeper-side deletions exhaust a group's reserve; the epoch below
     deletes every mod-13=2 doc while inserting a same-text copy at
-    id+2·10^7, so those groups' keepers must move to the copy). The oracle
-    recomputes GROUP BY md5(text) over the FINAL corpus, so the hash match
-    IS incremental≡rebuild at driver level."""
+    id+2·10^7, so those groups are REBORN onto the copy with zero scans).
+    The oracle recomputes GROUP BY md5(text) over the FINAL corpus, so the
+    hash match IS incremental≡rebuild at driver level."""
     import tempfile
 
-    from go_dcp_kafka_spark.functions.dedup_index import maintain_exact_dedup
+    from go_dcp_kafka_spark.functions.dedup_index import (
+        bootstrap_exact_dedup,
+        maintain_exact_dedup,
+    )
     from go_dcp_kafka_spark.table.snapshot import SnapshotTable
 
     anchor = os.path.join(tempfile.gettempdir(), "gdks_anchor")
@@ -810,15 +816,7 @@ def q_doc_dedup_ivm(spark, sf_dir):
     dt = SnapshotTable(
         spark, _scratch_table_dir(anchor, "xdedup_table"), ("h",), num_buckets=8
     )
-    dt.overwrite(
-        t.read()
-        .groupBy(F.md5("text").alias("h"))
-        .agg(
-            F.count("*").cast("long").alias("n_copies"),
-            F.min("doc_id").alias("keeper_id"),
-        ),
-        epoch_id="xd0",
-    )
+    dt.overwrite(bootstrap_exact_dedup(t, reserve_r=4), epoch_id="xd0")
     v1 = t.version()
     ups = (
         docs.filter(F.col("doc_id") % 13 == 3)
@@ -838,7 +836,7 @@ def q_doc_dedup_ivm(spark, sf_dir):
         docs.filter(F.col("doc_id") % 13 == 2).select("doc_id")
     )
     t.merge_mor(ups, dels, epoch_id="x1", n_updates=ups.count() + dels.count())
-    maintain_exact_dedup(dt, t, v1, epoch_id="xd1")
+    maintain_exact_dedup(dt, t, v1, epoch_id="xd1", reserve_r=4)
     return dt.read().select(
         "h",
         F.col("n_copies").cast("long").alias("n_copies"),

@@ -242,6 +242,7 @@ def probe_and_verify(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     fetch_texts=None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """The complete per-epoch duplicate check, O(changed) end to end:
     LSH candidates partition-pruned from the index
@@ -281,7 +282,7 @@ def probe_and_verify(
             f"{dup[0]['doc_id']}; the probe feed must be key-unique per epoch"
         )
     cand = probe_near_dups(
-        spark, path, probes, text_col="text", id_col="doc_id"
+        spark, path, probes, text_col="text", id_col="doc_id", stats_out=stats_out
     ).localCheckpoint(eager=True)  # poll-sized; reused for keys + pairs
     if not cand.limit(1).count():
         id_t = probe_docs.schema[id_col].dataType.simpleString()
@@ -307,6 +308,7 @@ def probe_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_keys_pushdown: int = 1024,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup CANDIDATES for ``probe_docs`` against the indexed corpus:
     (probe_id, match_id) for every corpus doc sharing ≥1 LSH band with a
@@ -314,7 +316,14 @@ def probe_near_dups(
     (reads only ``bands × probes`` of the num_parts directories) plus — for
     point-poll-sized probes — a ``band_key IN`` row-group-stats pushdown.
     Verify candidates with ``jaccard_verify_pairs`` over the corpus; a
-    probe doc already in the corpus never matches itself."""
+    probe doc already in the corpus never matches itself.
+
+    ``stats_out``: optional dict filled with the pruning decision
+    (no-silent-caps): ``band_key_pushdown`` — whether the probe's band
+    keys stayed under ``max_keys_pushdown`` and reached the row-group scan
+    as an IN predicate (past the cap only the partition filter prunes —
+    correct, but IO inside each probed partition becomes O(partition));
+    ``probed_parts``."""
     p = _load_params(path)
     pr = _band_rows(
         probe_docs.select(F.col(id_col).alias("doc_id"), text_col), text_col, p
@@ -326,6 +335,10 @@ def probe_near_dups(
         parts = sorted({r["part"] for r in keys})
     else:  # capped sample is incomplete — re-collect parts alone (≤ num_parts rows)
         parts = sorted(r["part"] for r in pr.select("part").distinct().collect())
+    if stats_out is not None:
+        stats_out["band_key_pushdown"] = len(keys) <= max_keys_pushdown
+        stats_out["probed_parts"] = len(parts)
+        stats_out["pushdown_cap"] = max_keys_pushdown
     index = _read_index(spark, os.path.join(path, "index"), p).filter(F.col("part").isin(parts))
     if len(keys) <= max_keys_pushdown:
         index = index.filter(F.col("band_key").isin(sorted({r["band_key"] for r in keys})))
@@ -346,6 +359,7 @@ def exact_dedup_deltas(
     id_col: str = "doc_id",
     before_col: str = "_before",
     change_col: str = "_change",
+    reserve_r: int = 0,
 ) -> DataFrame:
     """Per-content-hash deltas from a before/after change feed — the
     contribution step for a CDC-MAINTAINED exact-dedup table. Every
@@ -359,7 +373,15 @@ def exact_dedup_deltas(
     apply_agg_deltas` with ``min_map={'doc_id': 'keeper_id'}``: ``(h,
     _d_count, _a_min_doc_id, _r_min_doc_id)``. Rows where both the count
     and the min-evidence fully cancel (a text-identical rewrite) are
-    dropped — the common no-op epoch touches no groups."""
+    dropped — the common no-op epoch touches no groups.
+
+    With ``reserve_r=R > 0`` the scalars become the R-bounded keeper
+    reserve delta arrays (``ivm.reserve_delta_frame``) so the consumer can
+    maintain ``keeper_id`` with the extrema reserve — a keeper deletion
+    then consumes the reserve instead of triggering the corpus scan. The
+    no-op drop keeps a group whose arrays are truncated (its tail is
+    unverifiable) — processing a true no-op through the reserve is a no-op
+    anyway, so dropping stays a pure optimization."""
     w = F.col("_w")
     after = changes.filter(
         (F.col(change_col) != "delete") & F.col(text_col).isNotNull()
@@ -375,6 +397,18 @@ def exact_dedup_deltas(
         F.col(id_col).alias("doc_id"),
         F.lit(-1).alias("_w"),
     )
+    if reserve_r:
+        from go_dcp_kafka_spark.operators.ivm import reserve_delta_frame
+
+        d = reserve_delta_frame(
+            after.unionByName(before), ["h"], reserve_r, min_cols=["doc_id"]
+        )
+        return d.filter(
+            (F.col("_d_count") != 0)
+            | (F.col("_na_doc_id") != F.col("_nr_doc_id"))
+            | (F.col("_na_doc_id") >= reserve_r)  # truncated: tail unverifiable
+            | (F.col("_aL_doc_id") != F.col("_rL_doc_id"))
+        )
     d = (
         after.unionByName(before)
         .groupBy("h")
@@ -411,6 +445,37 @@ class _HashedCorpus:
         )
 
 
+def bootstrap_exact_dedup(
+    base_table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reserve_r: int = 4,
+) -> DataFrame:
+    """From-scratch initial state for the CDC-maintained exact-dedup table:
+    one row per ``md5(text)`` with ``n_copies`` + ``keeper_id`` = MIN(doc
+    id) and — with ``reserve_r=R > 0`` — the ``_rsv_keeper_id`` reserve of
+    the R smallest ids, so the very first keeper deletion consumes the
+    reserve instead of scanning the corpus. ``overwrite()`` the result into
+    the dedup table before the first :func:`maintain_exact_dedup` cycle
+    (same ``reserve_r`` on both)."""
+    from go_dcp_kafka_spark.operators.ivm import bootstrap_agg
+
+    hashed = _HashedCorpus(base_table, text_col, id_col).read()
+    out = bootstrap_agg(
+        hashed,
+        ["h"],
+        min_cols=["doc_id"],
+        count_col="n_copies",
+        min_prefix="keeper_",
+        reserve_r=reserve_r,
+    )
+    return out.withColumnsRenamed(
+        {"keeper_doc_id": "keeper_id", "_rsv_keeper_doc_id": "_rsv_keeper_id"}
+        if reserve_r
+        else {"keeper_doc_id": "keeper_id"}
+    )
+
+
 def maintain_exact_dedup(
     dedup_table,
     base_table,
@@ -418,6 +483,7 @@ def maintain_exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     epoch_id: str | None = None,
+    reserve_r: int = 4,
 ) -> dict:
     """One maintenance cycle for a CDC-tracked EXACT-dedup table keyed by
     ``h`` (md5 of text) carrying ``n_copies`` and ``keeper_id`` =
@@ -425,23 +491,31 @@ def maintain_exact_dedup(
     ``from_version`` folds in at O(changed docs) — changelog read
     (manifest-pruned) → :func:`exact_dedup_deltas` → pruned ``read_keys``
     probe + keyed merge; hashes reaching 0 copies are deleted. The keeper
-    follows the bounded-recompute MIN rule: deleting a group's keeper
-    while other copies survive triggers one column-pruned, group-filtered
-    corpus scan (reported as ``recomputed_groups``) — unless the epoch's
-    own applies re-establish the minimum. Downstream, \"is doc d a
-    duplicate?\" is a broadcast-able join of d's hash against this table
-    (``keeper_id != d`` ⇒ drop) with no corpus scan. Reference analog:
-    consumers apply only the appended log segment
-    (/root/reference/kafka/client.go:220-233). Single-maintainer contract
-    as in ``maintain_agg``."""
+    follows the MIN rule with the extrema RESERVE (default ``reserve_r=4``,
+    bootstrap via :func:`bootstrap_exact_dedup`): the ``_rsv_keeper_id``
+    array carries the group's R smallest ids, so deleting a keeper while
+    copies survive promotes the next reserve id with NO corpus IO — the
+    column-pruned, group-filtered corpus scan (reported as
+    ``recomputed_groups``) fires only when R keeper-side deletions exhaust
+    a group's reserve (r5 verdict item 1: a feed that deletes a keeper
+    every epoch no longer re-scans the table every epoch). A table
+    bootstrapped WITHOUT reserves (or with ``reserve_r=0`` passed here,
+    the legacy bounded-recompute mode) still maintains correctly; in
+    reserve mode its groups upgrade to reserve-backed on their first
+    flagged recompute. Downstream, \"is doc d a duplicate?\" is a
+    broadcast-able join of d's hash against this table (``keeper_id != d``
+    ⇒ drop) with no corpus scan. Reference analog: consumers apply only
+    the appended log segment (/root/reference/kafka/client.go:220-233).
+    Single-maintainer contract as in ``maintain_agg``."""
     from go_dcp_kafka_spark.operators.ivm import apply_agg_deltas
 
     ch = base_table.read_changes(from_version=from_version, include_old=True)
     return apply_agg_deltas(
         dedup_table,
-        exact_dedup_deltas(ch, text_col=text_col, id_col=id_col),
+        exact_dedup_deltas(ch, text_col=text_col, id_col=id_col, reserve_r=reserve_r),
         count_col="n_copies",
         min_map={"doc_id": "keeper_id"},
         base_table=_HashedCorpus(base_table, text_col, id_col),
+        reserve_r=reserve_r,
         epoch_id=epoch_id if epoch_id is not None else f"xdedup-{base_table.version()}",
     )

@@ -78,7 +78,101 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["agg_deltas", "apply_agg_deltas", "maintain_agg"]
+__all__ = [
+    "agg_deltas",
+    "apply_agg_deltas",
+    "bootstrap_agg",
+    "maintain_agg",
+    "reserve_delta_frame",
+]
+
+
+def _remove_first(acc, x):
+    """Multiset removal of ONE occurrence of x from array acc (array_remove
+    would delete every duplicate — wrong for reserves that carry tied
+    extrema with multiplicity)."""
+    pos = F.array_position(acc, x)
+    return F.when(
+        pos > 0,
+        F.concat(
+            F.slice(acc, F.lit(1), (pos - 1).cast("int")),
+            F.slice(acc, (pos + 1).cast("int"), F.size(acc)),
+        ),
+    ).otherwise(acc)
+
+
+def _sorted_dir(arr, lo: bool):
+    """Extremum-first ordering: ascending for a MIN reserve, descending for
+    a MAX reserve — element 1 is always the stored extremum."""
+    return F.array_sort(arr) if lo else F.reverse(F.array_sort(arr))
+
+
+def reserve_delta_frame(
+    u: DataFrame,
+    group_cols: Sequence[str],
+    reserve_r: int,
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    sum_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Reserve-mode per-group delta aggregation over a signed contribution
+    frame ``u`` (``group_cols`` + ``_w`` ∈ {+1 applied, −1 retracted} +
+    value columns). Emits per group:
+
+    - ``_d_count`` (net row delta), ``_d_<c>`` per sum column
+      (COALESCE(SUM,0) contract), ``_d_retract_rows`` (HOW MANY rows were
+      retracted from the group — the reborn-group detector)
+    - per MIN column c: ``_aL_<c>`` / ``_rL_<c>`` — the R smallest
+      applied / retracted values, sorted ascending; per MAX column:
+      ``_aH_<c>`` / ``_rH_<c>`` — the R largest, sorted descending
+    - ``_na_<c>`` / ``_nr_<c>`` — non-null applied / retracted value
+      counts (> R ⇒ the matching array is truncated)
+
+    Plan shape: TWO combinable shuffles — a partition-salted pre-level
+    caps every aggregation buffer at R elements (the final merge sees at
+    most splits × R per group), so a Zipf-hot group's epoch never builds
+    an unbounded collect_list buffer. Scalars piggyback on the same two
+    levels (sums of sums), costing no extra pass."""
+    w = F.col("_w")
+    r = int(reserve_r)
+    min_cols, max_cols, sum_cols = list(min_cols), list(max_cols), list(sum_cols)
+    applied = {c: F.when(w == 1, F.col(c)) for c in dict.fromkeys([*min_cols, *max_cols])}
+    retracted = {c: F.when(w == -1, F.col(c)) for c in applied}
+    s1 = [
+        F.sum(w).alias("_p_cnt"),
+        F.sum(F.when(w == -1, 1).otherwise(0)).alias("_p_rr"),
+        *[F.coalesce(F.sum(F.col(c) * w), F.lit(0)).alias(f"_p_sum_{c}") for c in sum_cols],
+    ]
+    s2 = [
+        F.sum("_p_cnt").cast("long").alias("_d_count"),
+        F.sum("_p_rr").cast("long").alias("_d_retract_rows"),
+        *[F.sum(f"_p_sum_{c}").alias(f"_d_{c}") for c in sum_cols],
+    ]
+    for c in dict.fromkeys([*min_cols, *max_cols]):
+        s1 += [
+            F.count(applied[c]).alias(f"_p_na_{c}"),
+            F.count(retracted[c]).alias(f"_p_nr_{c}"),
+        ]
+        s2 += [
+            F.sum(f"_p_na_{c}").cast("long").alias(f"_na_{c}"),
+            F.sum(f"_p_nr_{c}").cast("long").alias(f"_nr_{c}"),
+        ]
+    for cols, lo, a_name, r_name in ((min_cols, True, "_aL", "_rL"), (max_cols, False, "_aH", "_rH")):
+        for c in cols:
+            s1 += [
+                F.slice(_sorted_dir(F.collect_list(applied[c]), lo), 1, r).alias(f"_p{a_name}_{c}"),
+                F.slice(_sorted_dir(F.collect_list(retracted[c]), lo), 1, r).alias(f"_p{r_name}_{c}"),
+            ]
+            s2 += [
+                F.slice(
+                    _sorted_dir(F.flatten(F.collect_list(f"_p{a_name}_{c}")), lo), 1, r
+                ).alias(f"{a_name}_{c}"),
+                F.slice(
+                    _sorted_dir(F.flatten(F.collect_list(f"_p{r_name}_{c}")), lo), 1, r
+                ).alias(f"{r_name}_{c}"),
+            ]
+    pre = u.groupBy(*group_cols, F.spark_partition_id().alias("_slt")).agg(*s1)
+    return pre.groupBy(*group_cols).agg(*s2)
 
 
 def agg_deltas(
@@ -88,6 +182,9 @@ def agg_deltas(
     minmax_cols: Sequence[str] = (),
     before_col: str = "_before",
     change_col: str = "_change",
+    reserve_r: int = 0,
+    reserve_min_cols: Sequence[str] = (),
+    reserve_max_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-group aggregate deltas from a before/after change feed.
 
@@ -110,10 +207,15 @@ def agg_deltas(
     all map-side combinable). Plan shape: union of two projections -> ONE
     partial-agg shuffle on the group key regardless of how many aggregates
     are maintained.
+
+    With ``reserve_r=R > 0`` the MIN/MAX scalars are replaced by the
+    R-bounded reserve delta arrays of :func:`reserve_delta_frame`
+    (``reserve_min_cols``/``reserve_max_cols`` instead of ``minmax_cols``;
+    two combinable shuffles, buffers capped at R per level).
     """
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
-    minmax_cols = list(minmax_cols)
+    minmax_cols = list(dict.fromkeys([*minmax_cols, *reserve_min_cols, *reserve_max_cols]))
     # a column may feed both SUM and MIN/MAX — project it once
     val_cols = list(dict.fromkeys([*sum_cols, *minmax_cols]))
     w = F.col("_w")
@@ -129,6 +231,15 @@ def agg_deltas(
         F.lit(-1).alias("_w"),
         *[F.col(f"{before_col}.{c}").alias(c) for c in val_cols],
     )
+    if reserve_r:
+        return reserve_delta_frame(
+            after.unionByName(before),
+            group_cols,
+            reserve_r,
+            min_cols=reserve_min_cols,
+            max_cols=reserve_max_cols,
+            sum_cols=sum_cols,
+        )
     aggs = [
         F.sum(w).cast("long").alias("_d_count"),
         *[F.coalesce(F.sum(F.col(c) * w), F.lit(0)).alias(f"_d_{c}") for c in sum_cols],
@@ -153,6 +264,7 @@ def apply_agg_deltas(
     max_map: dict[str, str] | None = None,
     base_table=None,
     epoch_id: str = "ivm-0",
+    reserve_r: int = 0,
 ) -> dict:
     """Fold :func:`agg_deltas` output into an aggregate ``SnapshotTable``
     keyed by the group columns.
@@ -171,7 +283,19 @@ def apply_agg_deltas(
     the stored extremum AND the epoch's applies don't re-establish it (see
     module docstring); those are recomputed with one column-pruned scan of
     ``base_table`` filtered to the flagged groups. Returns the merge stats
-    plus ``recomputed_groups`` (0 on the pure-incremental path).
+    plus ``recomputed_groups`` (0 on the pure-incremental path) and — when
+    the ``read_keys`` probe ran — ``probe_key_pushdown`` (whether the probe
+    stayed under the row-group IN-pushdown cap; the no-silent-caps rule).
+
+    With ``reserve_r=R > 0`` (``deltas`` must come from the same
+    ``reserve_r``) the table additionally carries ``_rsv_<agg_col>`` reserve
+    arrays (see module docstring): a retraction of the stored extremum
+    CONSUMES the reserve instead of flagging a recompute, so the scan fires
+    only when R extremum-side deletions hit a group without replenishment.
+    A table bootstrapped without reserve columns upgrades in place: its
+    rows fold legacy-incrementally until an epoch retracts from them, which
+    flags a one-time recompute that installs the group's reserve (the merge
+    schema-evolves the new columns).
     """
     sum_map = dict(sum_map or {})
     min_map = dict(min_map or {})
@@ -187,7 +311,22 @@ def apply_agg_deltas(
     # buckets/row groups and returns at most one row per changed group, so
     # it broadcasts; every delta row must survive the join (its group may
     # not exist yet), hence deltas-left
-    existing = agg_table.read_keys(deltas.select(*gcols))
+    probe_stats: dict = {}
+    try:
+        existing = agg_table.read_keys(deltas.select(*gcols), stats_out=probe_stats)
+    except TypeError:  # duck-typed adapter without the stats hook
+        existing = agg_table.read_keys(deltas.select(*gcols))
+    dirs = [(b, a, True) for b, a in min_map.items()] + [
+        (b, a, False) for b, a in max_map.items()
+    ]
+    if reserve_r:
+        # reserve-array element types come from the delta arrays; a legacy
+        # table (bootstrapped without reserve columns) reads null reserves
+        # and upgrades in place — the merge schema-evolves the new columns
+        for base_c, agg_c, lo in dirs:
+            at = deltas.schema[f"_aL_{base_c}" if lo else f"_aH_{base_c}"].dataType
+            if f"_rsv_{agg_c}" not in existing.columns:
+                existing = existing.withColumn(f"_rsv_{agg_c}", F.lit(None).cast(at))
     j = deltas.join(F.broadcast(existing), on=gcols, how="left")
     new_count = (F.coalesce(F.col(count_col), F.lit(0)) + F.col("_d_count")).cast("long")
     new_sums = [
@@ -195,9 +334,73 @@ def apply_agg_deltas(
         for base_c, agg_c in sum_map.items()
     ]
     new_minmax, need_rc = [], []
-    for base_c, agg_c, lo in [(b, a, True) for b, a in min_map.items()] + [
-        (b, a, False) for b, a in max_map.items()
-    ]:
+    if reserve_r:
+        old_count = F.coalesce(F.col(count_col), F.lit(0))
+        # every old row of the group retracted this epoch: the group is
+        # REBORN from its applied values — the R extremal applies are its
+        # exact new reserve, no old state can leak into the extremum
+        reborn = old_count == F.col("_d_retract_rows")
+    for base_c, agg_c, lo in dirs if reserve_r else ():
+        aK = F.col(f"_aL_{base_c}" if lo else f"_aH_{base_c}")
+        rK = F.col(f"_rL_{base_c}" if lo else f"_rH_{base_c}")
+        nr = F.col(f"_nr_{base_c}")
+        srsv = F.col(f"_rsv_{agg_c}")
+        stored = F.col(agg_c)
+        at = deltas.schema[f"_aL_{base_c}" if lo else f"_aH_{base_c}"].dataType
+        # multiset-remove the R extremal retracted values from the stored
+        # reserve (one occurrence each — array_remove would eat tied
+        # duplicates); F.slice(aK, 1, 0) is a typed empty array
+        after_rm = F.aggregate(rK, F.coalesce(srsv, F.slice(aK, 1, 0)), _remove_first)
+        # watermark = the reserve's inner edge: an insert beyond it may
+        # have unseen peers outside the reserve, so it must stay outside —
+        # absorbing it would let a later deletion surface a false extremum
+        m = (F.array_max if lo else F.array_min)(after_rm)
+        accepted = F.filter(aK, (lambda a: a <= m) if lo else (lambda a: a >= m))
+        merged = F.slice(_sorted_dir(F.concat(after_rm, accepted), lo), 1, reserve_r)
+        legacy = srsv.isNull() & F.col(count_col).isNotNull() & ~reborn
+        fresh = (
+            F.when(reborn, aK)
+            .when(F.size(after_rm) > 0, merged)
+            # old rows exist but none holds a value (stored extremum null):
+            # the applies seed the reserve exactly
+            .when(stored.isNull(), aK)
+            # reserve exhausted by deletions: recompute (flagged) refills
+            .otherwise(F.lit(None).cast(at))
+        )
+        new_minmax += [
+            # legacy rows fold least/greatest until a retraction epoch
+            # flags their one-time reserve-installing recompute
+            F.when(legacy, (F.least if lo else F.greatest)(stored, F.get(aK, 0)))
+            .otherwise(F.get(fresh, 0))
+            .alias(agg_c),
+            F.when(legacy, F.lit(None).cast(at)).otherwise(fresh).alias(f"_rsv_{agg_c}"),
+        ]
+        # a truncated retraction list whose unprocessed tail (all at-or-
+        # beyond the R-th retracted value) could still reach the surviving
+        # reserve: conservative flag (an epoch retracting > R values
+        # straddling ONE group's reserve — rare by construction)
+        trunc = (
+            (nr > reserve_r)
+            & (F.size(after_rm) > 0)
+            & ((F.get(rK, reserve_r - 1) <= m) if lo else (F.get(rK, reserve_r - 1) >= m))
+        )
+        # legacy rows flag under the r5 hit&miss rule (the delta arrays are
+        # extremum-first, so element 0 IS the exact applied/retracted
+        # extremum even when truncated): a retraction reaching the stored
+        # extremum without the applies re-establishing it — the flagged
+        # recompute then installs the group's reserve
+        a0, r0 = F.get(aK, 0), F.get(rK, 0)
+        legacy_hit = (r0 <= stored) if lo else (r0 >= stored)
+        legacy_miss = a0.isNull() | ((a0 > stored) if lo else (a0 < stored))
+        need_rc.append(
+            (~reborn)
+            & (
+                (legacy & stored.isNotNull() & r0.isNotNull() & legacy_hit & legacy_miss)
+                | (srsv.isNotNull() & (F.size(after_rm) == 0) & stored.isNotNull())
+                | (srsv.isNotNull() & trunc)
+            )
+        )
+    for base_c, agg_c, lo in () if reserve_r else dirs:
         stored = F.col(agg_c)
         a = F.col(f"_a_min_{base_c}" if lo else f"_a_max_{base_c}")
         r = F.col(f"_r_min_{base_c}" if lo else f"_r_max_{base_c}")
@@ -226,9 +429,14 @@ def apply_agg_deltas(
         # pass over `updated` — decides whether the flag machinery (second
         # checkpoint + count) runs at all. `_r_min_<c>`/`_r_max_<c>` are
         # null on exactly the same rows, so probing the mins suffices.
-        any_retract = F.lit(False)
-        for c in dict.fromkeys([*min_map, *max_map]):
-            any_retract = any_retract | F.col(f"_r_min_{c}").isNotNull()
+        if reserve_r:
+            # reserve mode: every flag condition (exhaustion, truncation,
+            # legacy upgrade) requires at least one retracted ROW
+            any_retract = F.col("_d_retract_rows") > 0
+        else:
+            any_retract = F.lit(False)
+            for c in dict.fromkeys([*min_map, *max_map]):
+                any_retract = any_retract | F.col(f"_r_min_{c}").isNotNull()
         has_retraction = bool(deltas.filter(any_retract).limit(1).count())
     if (min_map or max_map) and has_retraction:
         # O(changed groups) rows — pin them so the flag collect, the
@@ -242,27 +450,64 @@ def apply_agg_deltas(
             # broadcast semi-join (O(flagged groups' rows) after the scan;
             # the scan itself reads only the group + value columns)
             base_vals = list(dict.fromkeys([*min_map, *max_map]))
-            rc = (
+            scoped = (
                 base_table.read()
                 .select(*gcols, *base_vals)
                 .join(F.broadcast(flagged), on=gcols, how="left_semi")
-                .groupBy(*gcols)
-                .agg(
+            )
+            if reserve_r:
+                # rebuild the R-deep reserves exactly (salted two-level —
+                # a flagged Zipf-hot group's buffer stays R-bounded)
+                s1 = [
+                    F.slice(_sorted_dir(F.collect_list(b), lo), 1, reserve_r).alias(f"_p_{a}")
+                    for b, a, lo in dirs
+                ]
+                s2 = [
+                    F.slice(
+                        _sorted_dir(F.flatten(F.collect_list(f"_p_{a}")), lo), 1, reserve_r
+                    ).alias(f"_rcv_{a}")
+                    for b, a, lo in dirs
+                ]
+                rc = (
+                    scoped.groupBy(*gcols, F.spark_partition_id().alias("_slt"))
+                    .agg(*s1)
+                    .groupBy(*gcols)
+                    .agg(*s2)
+                )
+                take_rc = []
+                for _b, a, _lo in dirs:
+                    take_rc += [
+                        F.when(F.col("_rc"), F.get(F.col(f"_rcv_{a}"), 0))
+                        .otherwise(F.col(a))
+                        .alias(a),
+                        F.when(F.col("_rc"), F.col(f"_rcv_{a}"))
+                        .otherwise(F.col(f"_rsv_{a}"))
+                        .alias(f"_rsv_{a}"),
+                    ]
+                replaced = {a for _, a, _ in dirs} | {f"_rsv_{a}" for _, a, _ in dirs}
+            else:
+                rc = scoped.groupBy(*gcols).agg(
                     *[F.min(b).alias(f"_rc_{a}") for b, a in min_map.items()],
                     *[F.max(b).alias(f"_rc_{a}") for b, a in max_map.items()],
                 )
-            )
-            take_rc = [
-                F.when(F.col("_rc"), F.col(f"_rc_{a}")).otherwise(F.col(a)).alias(a)
-                for a in [*min_map.values(), *max_map.values()]
-            ]
-            keep = [c for c in updated.columns if c not in {*min_map.values(), *max_map.values()}]
+                take_rc = [
+                    F.when(F.col("_rc"), F.col(f"_rc_{a}")).otherwise(F.col(a)).alias(a)
+                    for a in [*min_map.values(), *max_map.values()]
+                ]
+                replaced = {*min_map.values(), *max_map.values()}
+            keep = [c for c in updated.columns if c not in replaced]
             updated = updated.join(F.broadcast(rc), on=gcols, how="left").select(*keep, *take_rc)
     updated = updated.drop("_rc")
     upserts = updated.filter(F.col(count_col) > 0)
     deletes = updated.filter(F.col(count_col) <= 0).select(*gcols)
     res = agg_table.merge(upserts, deletes, epoch_id=epoch_id)
     res["recomputed_groups"] = recomputed
+    # no-silent-caps: whether the probe's key values reached the parquet
+    # row-group scan as an IN pushdown, or only the bucket filter applied
+    # (probe set past the cap) — a consumer can watch the IO-cliff boundary
+    if probe_stats:
+        res["probe_key_pushdown"] = probe_stats.get("key_pushdown")
+        res["probe_buckets"] = probe_stats.get("probed_buckets")
     return res
 
 
@@ -279,6 +524,7 @@ def maintain_agg(
     min_prefix: str = "min_",
     max_prefix: str = "max_",
     epoch_id: str | None = None,
+    reserve_r: int = 0,
 ) -> dict:
     """One maintenance cycle: apply everything that happened to
     ``base_table`` since ``from_version`` to the aggregate table.
@@ -289,13 +535,28 @@ def maintain_agg(
     bounded recompute scan on the (rare) epochs that retract a group's
     stored extremum without re-establishing it.
 
+    ``reserve_r=R > 0`` adds the per-group extrema reserve (module
+    docstring): MIN/MAX retractions consume the reserve and the recompute
+    scan fires only when R extremum-side deletions exhaust a group's
+    reserve — the deletion-heavy-feed fix (r5 verdict item 1). Bootstrap
+    the aggregate table with :func:`bootstrap_agg` at the same R so every
+    group starts reserve-backed; pass the same R on every cycle.
+
     Call from a single maintainer per aggregate table (the consumer-loop
     pattern): the change window and the recompute scan both read the base
     table's CURRENT version, so a merge landing between them would leak
     newer extrema into this cycle's view."""
     ch = base_table.read_changes(from_version=from_version, include_old=True)
     minmax = list(dict.fromkeys([*min_cols, *max_cols]))
-    d = agg_deltas(ch, group_cols, sum_cols, minmax_cols=minmax)
+    d = agg_deltas(
+        ch,
+        group_cols,
+        sum_cols,
+        minmax_cols=() if reserve_r else minmax,
+        reserve_r=reserve_r,
+        reserve_min_cols=min_cols if reserve_r else (),
+        reserve_max_cols=max_cols if reserve_r else (),
+    )
     return apply_agg_deltas(
         agg_table,
         d,
@@ -304,5 +565,72 @@ def maintain_agg(
         min_map={c: f"{min_prefix}{c}" for c in min_cols},
         max_map={c: f"{max_prefix}{c}" for c in max_cols},
         base_table=base_table,
+        reserve_r=reserve_r,
         epoch_id=epoch_id if epoch_id is not None else f"ivm-{base_table.version()}",
+    )
+
+
+def bootstrap_agg(
+    base_df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    count_col: str = "n_rows",
+    sum_prefix: str = "sum_",
+    min_prefix: str = "min_",
+    max_prefix: str = "max_",
+    reserve_r: int = 0,
+) -> DataFrame:
+    """From-scratch initial state for a maintained aggregate table — the
+    frame to ``overwrite()`` before the first :func:`maintain_agg` cycle.
+    Column naming matches ``maintain_agg``'s; sums carry the
+    ``COALESCE(SUM, 0)`` contract the incremental fold maintains.
+
+    With ``reserve_r=R > 0`` every group additionally gets its exact
+    ``_rsv_<agg_col>`` extrema reserve (the R smallest / largest values,
+    extremum-first), built with the same salted two-level aggregation the
+    delta path uses — buffers stay R-bounded on Zipf-hot groups. Bootstrap
+    and maintenance MUST use the same R: a group bootstrapped without a
+    reserve folds legacy until its first retraction epoch recomputes it."""
+    group_cols = list(group_cols)
+    sum_cols, min_cols, max_cols = list(sum_cols), list(min_cols), list(max_cols)
+    if not reserve_r:
+        return base_df.groupBy(*group_cols).agg(
+            F.count("*").cast("long").alias(count_col),
+            *[F.coalesce(F.sum(c), F.lit(0)).alias(f"{sum_prefix}{c}") for c in sum_cols],
+            *[F.min(c).alias(f"{min_prefix}{c}") for c in min_cols],
+            *[F.max(c).alias(f"{max_prefix}{c}") for c in max_cols],
+        )
+    s1 = [
+        F.count("*").alias("_p_n"),
+        *[F.coalesce(F.sum(c), F.lit(0)).alias(f"_p_s_{c}") for c in sum_cols],
+    ]
+    s2 = [
+        F.sum("_p_n").cast("long").alias(count_col),
+        *[F.sum(f"_p_s_{c}").alias(f"{sum_prefix}{c}") for c in sum_cols],
+    ]
+    agg_names = []
+    for cols, lo, pfx in ((min_cols, True, min_prefix), (max_cols, False, max_prefix)):
+        for c in cols:
+            a = f"{pfx}{c}"
+            agg_names.append(a)
+            s1.append(F.slice(_sorted_dir(F.collect_list(c), lo), 1, reserve_r).alias(f"_p_{a}"))
+            s2.append(
+                F.slice(
+                    _sorted_dir(F.flatten(F.collect_list(f"_p_{a}")), lo), 1, reserve_r
+                ).alias(f"_rsv_{a}")
+            )
+    out = (
+        base_df.groupBy(*group_cols, F.spark_partition_id().alias("_slt"))
+        .agg(*s1)
+        .groupBy(*group_cols)
+        .agg(*s2)
+    )
+    return out.select(
+        *group_cols,
+        count_col,
+        *[f"{sum_prefix}{c}" for c in sum_cols],
+        *[F.get(F.col(f"_rsv_{a}"), 0).alias(a) for a in agg_names],
+        *[f"_rsv_{a}" for a in agg_names],
     )

@@ -719,7 +719,7 @@ class SnapshotTable:
                 out["bytes"] += int(entry.get("bytes", 0) or 0)
         return out
 
-    def read_keys(self, keys: DataFrame) -> DataFrame:
+    def read_keys(self, keys: DataFrame, stats_out: dict | None = None) -> DataFrame:
         """Point-lookup / key-pruned read: current state for exactly the
         given keys, reading ONLY the bucket dirs those keys hash to.
 
@@ -734,6 +734,14 @@ class SnapshotTable:
         the probed buckets. Result ≡ ``read().join(keys, semi)``.
 
         ``keys``: a DataFrame containing (at least) the table's key columns.
+
+        ``stats_out``: optional dict the call fills with its pruning
+        decisions (no-silent-caps rule, r5 verdict item 8):
+        ``key_pushdown`` — whether the probe stayed under the 1024-key cap
+        so key VALUES reached the parquet row-group scan as an IN predicate
+        (past the cap only the bucket filter prunes — correct, but IO
+        inside each probed bucket becomes O(bucket), a quiet cliff worth
+        alerting on); ``probed_buckets``; ``pushdown_cap``.
         """
         m = self._load_manifest()
         bexpr = _bucket_expr(self.key_cols, m["num_buckets"])
@@ -746,6 +754,10 @@ class SnapshotTable:
             probed = sorted(r["_b"] for r in kdf.select(bexpr.alias("_b")).distinct().collect())
         else:
             probed = sorted({r["_b"] for r in probe_rows})
+        if stats_out is not None:
+            stats_out["key_pushdown"] = len(probe_rows) <= 1024
+            stats_out["probed_buckets"] = len(probed)
+            stats_out["pushdown_cap"] = 1024
         if not probed:  # empty probe set: empty result, zero dirs listed
             return self.read().limit(0)
         state = self._resolve_lww(m, self._delta_entries(m), probed)

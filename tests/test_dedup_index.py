@@ -525,3 +525,125 @@ def test_emptied_string_keyed_index_accepts_next_epoch(spark, tmp_path):
     probe = spark.createDataFrame([("p#0", _text(3))], "doc_id string, text string")
     got = {(r["probe_id"], r["match_id"]) for r in probe_near_dups(spark, idx, probe).collect()}
     assert ("p#0", "c10#0") in got
+
+
+def test_maintain_exact_dedup_reserve_keeper_promotion(spark, tmp_path):
+    """r6 headline (r5 verdict item 1, dedup inheritance): with the table
+    bootstrapped via bootstrap_exact_dedup (keeper reserve of the R
+    smallest ids), deleting a group's KEEPER while copies survive promotes
+    the next reserve id with recomputed_groups == 0 — the corpus scan
+    fires only after R keeper-side deletions exhaust a group's reserve,
+    then refills. Equality vs a from-scratch GROUP BY md5(text) after
+    every epoch."""
+    import hashlib
+
+    from go_dcp_kafka_spark.functions.dedup_index import (
+        bootstrap_exact_dedup,
+        maintain_exact_dedup,
+    )
+
+    def scratch(t):
+        return {
+            (r["h"]): (r["n_copies"], r["keeper_id"])
+            for r in t.read()
+            .filter(F.col("text").isNotNull())
+            .groupBy(F.md5("text").alias("h"))
+            .agg(
+                F.count("*").cast("long").alias("n_copies"),
+                F.min("doc_id").alias("keeper_id"),
+            )
+            .collect()
+        }
+
+    # g0 = docs {0,4,8,12,16} (5 copies), g1 = {1,5}, g2 = {2,6}, g3 = {3,7}
+    docs = spark.createDataFrame(
+        [(i, _text(i % 4)) for i in range(9)] + [(12, _text(0)), (16, _text(0))],
+        "doc_id long, text string",
+    )
+    t = SnapshotTable(spark, str(tmp_path / "docs"), ("doc_id",), num_buckets=4)
+    t.overwrite(docs, epoch_id="x0")
+    dt = SnapshotTable(spark, str(tmp_path / "dedup"), ("h",), num_buckets=4)
+    dt.overwrite(bootstrap_exact_dedup(t, reserve_r=2), epoch_id="dd0")
+    g0h = hashlib.md5(_text(0).encode()).hexdigest()
+    rsv = {r["h"]: list(r["_rsv_keeper_id"]) for r in dt.read().collect()}
+    assert rsv[g0h] == [0, 4]
+
+    def check(msg):
+        got = {r["h"]: (r["n_copies"], r["keeper_id"]) for r in dt.read().collect()}
+        assert got == scratch(t), msg
+        return got
+
+    # epoch 1: delete g0's keeper (survivors 4,8,12,16) -> reserve promotes
+    # id 4, NO corpus scan
+    v = t.version()
+    t.merge_mor(
+        spark.createDataFrame([], "doc_id long, text string"),
+        spark.createDataFrame([(0,)], "doc_id long"), epoch_id="x1", n_updates=1,
+    )
+    res = maintain_exact_dedup(dt, t, v, epoch_id="dd1", reserve_r=2)
+    assert res["recomputed_groups"] == 0, res
+    assert check("e1")[g0h] == (4, 4)
+    # epoch 2: delete the promoted keeper too -> reserve exhausted (R=2),
+    # exactly one scan refills it from the survivors {8,12,16}
+    v = t.version()
+    t.merge(
+        spark.createDataFrame([], "doc_id long, text string"),
+        spark.createDataFrame([(4,)], "doc_id long"), epoch_id="x2",
+    )
+    res = maintain_exact_dedup(dt, t, v, epoch_id="dd2", reserve_r=2)
+    assert res["recomputed_groups"] == 1, res
+    assert check("e2")[g0h] == (3, 8)
+    assert {r["h"]: list(r["_rsv_keeper_id"]) for r in dt.read().collect()}[g0h] == [8, 12]
+    # epoch 3: next keeper deletion consumes the refilled reserve scan-free
+    v = t.version()
+    t.merge_mor(
+        spark.createDataFrame([], "doc_id long, text string"),
+        spark.createDataFrame([(8,)], "doc_id long"), epoch_id="x3", n_updates=1,
+    )
+    res = maintain_exact_dedup(dt, t, v, epoch_id="dd3", reserve_r=2)
+    assert res["recomputed_groups"] == 0, res
+    assert check("e3")[g0h] == (2, 12)
+    # epoch 4: hash migration (edit doc 1 to g2's content) + a same-text
+    # delete+reinsert pair (group reborn under a new id) — no scans
+    v = t.version()
+    t.merge_mor(
+        spark.createDataFrame(
+            [(1, _text(2)), (300, _text(3))], "doc_id long, text string"
+        ),
+        spark.createDataFrame([(3,), (7,)], "doc_id long"), epoch_id="x4", n_updates=4,
+    )
+    res = maintain_exact_dedup(dt, t, v, epoch_id="dd4", reserve_r=2)
+    assert res["recomputed_groups"] == 0, res
+    check("e4")
+
+
+def test_probe_near_dups_pushdown_reported(spark, tmp_path):
+    """No-silent-caps (r5 verdict item 8): probe_near_dups discloses via
+    stats_out whether the probe's band keys reached the row-group scan as
+    an IN pushdown or only the partition filter pruned (cap exceeded) —
+    and probe_and_verify passes the hook through."""
+    from go_dcp_kafka_spark.functions.dedup_index import probe_and_verify
+
+    docs = spark.createDataFrame(
+        [(i, _text(i)) for i in range(40)], "doc_id long, text string"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "docs"), ("doc_id",), num_buckets=4)
+    t.overwrite(docs, epoch_id="b0")
+    idx = str(tmp_path / "mh")
+    materialize_minhash(docs, idx, num_parts=16)
+    probe = spark.createDataFrame([(999, _near_dup_of(10))], "doc_id long, text string")
+    stats = {}
+    got = {(r["probe_id"], r["match_id"]) for r in
+           probe_near_dups(spark, idx, probe, stats_out=stats).collect()}
+    assert (999, 10) in got
+    assert stats["band_key_pushdown"] is True and stats["probed_parts"] >= 1
+    # force the cap: 1 probe doc emits `bands` keys > max_keys_pushdown=2
+    stats2 = {}
+    got2 = {(r["probe_id"], r["match_id"]) for r in
+            probe_near_dups(spark, idx, probe, max_keys_pushdown=2, stats_out=stats2).collect()}
+    assert got2 == got, "cap changes IO, never results"
+    assert stats2["band_key_pushdown"] is False
+    # passes through probe_and_verify
+    stats3 = {}
+    out = probe_and_verify(spark, idx, probe, t, threshold=0.5, stats_out=stats3)
+    assert out.count() >= 1 and stats3["band_key_pushdown"] is True
