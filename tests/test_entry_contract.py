@@ -85,3 +85,26 @@ def test_oracle_dtypes_match_spark_schema(spark):
                 if spark_kinds.get(c) != duck_kinds.get(c)
             }
     assert not bad, f"oracle dtype-kind mismatches (spark, duckdb): {bad}"
+
+
+def test_scenario_cache_equals_fresh_build(spark, monkeypatch, tmp_path):
+    """The scenario result cache (r5 verdict item 3) is an IO shortcut,
+    never a semantics change: a cached read returns exactly the rows a
+    fresh build produces, with the same schema; GDKS_SCENARIO_CACHE=0
+    bypasses it."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    fn = qs["doc_vocab_ivm"]
+    monkeypatch.setenv("GDKS_SCENARIO_CACHE", "0")
+    fresh = fn(spark, SF)
+    fresh_rows = {tuple(r) for r in fresh.collect()}
+    monkeypatch.delenv("GDKS_SCENARIO_CACHE")
+    # point the cache at a throwaway dir so this test never poisons (or is
+    # poisoned by) the repo-level cache
+    monkeypatch.setattr(entry, "_SCENARIO_VERSION", f"test-{tmp_path.name}")
+    first = fn(spark, SF)   # populates
+    second = fn(spark, SF)  # hits
+    assert {tuple(r) for r in first.collect()} == fresh_rows
+    assert {tuple(r) for r in second.collect()} == fresh_rows
+    assert dict(second.dtypes) == dict(fresh.dtypes)
