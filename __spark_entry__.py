@@ -723,6 +723,60 @@ def q_doc_minhash_index(spark, sf_dir):
     )
 
 
+def q_doc_minhash_sidecar(spark, sf_dir):
+    """The r6 no-before-image maintenance path at driver level: the same
+    CDC-maintained MinHash-LSH index as doc_minhash_index, but the epoch
+    feed comes from ``read_changes`` WITHOUT ``include_old`` — the
+    Debezium-style wire that carries no before-images. Old index rows are
+    located via the doc→band_keys SIDECAR table's bucket-pruned point
+    lookup (reference analog: checkpoint reload is a point lookup by vbID,
+    kafka/metadata/kafka_metadata.go:48-129), so the epoch still rewrites
+    only bands×changed partitions; the query REFUSES to return if the
+    sidecar path was not the one taken. Oracle recomputes the index from
+    the FINAL corpus in SQL, so the hash match IS incremental≡rebuild for
+    the no-before-image wire."""
+    import tempfile
+
+    from go_dcp_kafka_spark.functions.dedup_index import (
+        materialize_minhash,
+        update_minhash,
+    )
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    anchor = os.path.join(tempfile.gettempdir(), "gdks_anchor")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = SnapshotTable(
+        spark, _scratch_table_dir(anchor, "mhsc_table"), ("doc_id",), num_buckets=8
+    )
+    t.overwrite(docs, epoch_id="sc0")
+    v1 = t.version()
+    idx = _scratch_table_dir(anchor, "mhsc_index")
+    materialize_minhash(
+        t.read(),
+        idx,
+        num_hashes=NEAR_DUP_HASHES,
+        bands=NEAR_DUP_BANDS,
+        shingle_words=3,
+        num_parts=32,
+    )
+    ups = docs.filter(F.col("doc_id") % 17 == 4).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" sc-upd")).alias("text")
+    )
+    ins = docs.filter(F.col("doc_id") % 17 == 9).select(
+        (F.col("doc_id") + 40000000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+    )
+    dels = docs.filter(F.col("doc_id") % 17 == 2).select("doc_id")
+    upserts = ups.unionByName(ins)
+    t.merge_mor(upserts, dels, epoch_id="sc1", n_updates=upserts.count())
+    res = update_minhash(spark, idx, t.read_changes(v1))  # NO include_old
+    if res["old_location"] != "sidecar":
+        raise RuntimeError(f"expected sidecar old-row location, got {res['old_location']}")
+    return spark.read.parquet(os.path.join(idx, "index")).select(
+        "doc_id", "band_id", "band_key", F.col("part").cast("int").alias("part")
+    )
+
+
 def q_doc_probe_verify(spark, sf_dir):
     """The per-epoch duplicate CHECK, O(changed) end to end
     (dedup_index.probe_and_verify): the corpus lives in a keyed
@@ -1226,6 +1280,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CACHED_SCENARIOS = (
     "cdc_ivm_agg",
     "doc_minhash_index",
+    "doc_minhash_sidecar",
     "doc_probe_verify",
     "doc_vocab_ivm",
     "doc_dedup_ivm",
@@ -1275,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_near_dup": q_doc_near_dup,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_minhash_index": q_doc_minhash_index,
+        "doc_minhash_sidecar": q_doc_minhash_sidecar,
         "doc_probe_verify": q_doc_probe_verify,
         "doc_vocab_topk": q_doc_vocab_topk,
         "doc_vocab_ivm": q_doc_vocab_ivm,
@@ -1820,6 +1876,22 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id + 10000000 AS doc_id, 'new ' || text AS text
                 FROM documents WHERE doc_id % 13 = 11
+            ),
+            s AS (SELECT doc_id, {_shingles("text", 3)} AS sh FROM final),
+            sig AS (SELECT doc_id, {sig_cols16} FROM s),
+            bk AS (
+                {nd_buckets})
+            SELECT doc_id, band_id, band_key, CAST(band_key % 32 AS INTEGER) AS part
+            FROM bk
+        """,
+        "doc_minhash_sidecar": f"""
+            WITH final AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 17 = 4 THEN text || ' sc-upd' ELSE text END AS text
+                FROM documents WHERE doc_id % 17 <> 2
+                UNION ALL
+                SELECT doc_id + 40000000 AS doc_id, 'fresh ' || text AS text
+                FROM documents WHERE doc_id % 17 = 9
             ),
             s AS (SELECT doc_id, {_shingles("text", 3)} AS sh FROM final),
             sig AS (SELECT doc_id, {sig_cols16} FROM s),

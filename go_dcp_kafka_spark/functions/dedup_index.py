@@ -99,6 +99,15 @@ def _write_index(rows: DataFrame, index_dir: str, dynamic: bool = False) -> None
     w.parquet(index_dir)
 
 
+def _sidecar_table(spark, path: str, p: dict):
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    return SnapshotTable(
+        spark, os.path.join(path, "sidecar"), ("doc_id",),
+        num_buckets=p.get("sidecar_buckets", 16),
+    )
+
+
 def materialize_minhash(
     docs: DataFrame,
     path: str,
@@ -107,10 +116,22 @@ def materialize_minhash(
     bands: int = 4,
     shingle_words: int = 3,
     num_parts: int = 64,
+    sidecar: bool = True,
+    sidecar_buckets: int = 16,
 ) -> str:
     """Build the LSH band index for ``docs`` at ``path`` and persist the
     signature parameters alongside (update/probe MUST reuse them — a
-    different permutation set would silently index a different space)."""
+    different permutation set would silently index a different space).
+
+    ``sidecar=True`` (default) additionally materializes a compact
+    ``doc_id -> band_keys`` SnapshotTable next to the index: the key to
+    O(changed) maintenance for feeds WITHOUT before-images (the common
+    Debezium wire shape) — ``update_minhash`` point-looks-up a changed
+    doc's OLD band keys by id (bucket-pruned ``read_keys``, the reference's
+    checkpoint-reload shape: a point lookup by vbID,
+    /root/reference/kafka/metadata/kafka_metadata.go:48-129) instead of
+    anti-joining the whole index. One row per doc, ``bands`` longs each —
+    ~1/2000th of the corpus bytes at typical document sizes."""
     p = dict(
         num_hashes=num_hashes,
         bands=bands,
@@ -119,11 +140,22 @@ def materialize_minhash(
         # the empty-index fallback frame must reproduce the indexed id type
         # (string/derived ids are first-class — r5 ADVICE)
         doc_id_type=docs.schema["doc_id"].dataType.simpleString(),
+        sidecar=bool(sidecar),
+        sidecar_buckets=sidecar_buckets,
     )
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "params.json"), "w") as f:
         json.dump(p, f)
-    _write_index(_band_rows(docs, text_col, p), os.path.join(path, "index"))
+    rows = _band_rows(docs, text_col, p)
+    if sidecar:
+        # the band rows are a pure projection of docs — localCheckpoint so
+        # the index write and the sidecar aggregation share one signing pass
+        rows = rows.localCheckpoint(eager=True)
+        _sidecar_table(docs.sparkSession, path, p).overwrite(
+            rows.groupBy("doc_id").agg(F.collect_list("band_key").alias("band_keys")),
+            epoch_id="sidecar-0",
+        )
+    _write_index(rows, os.path.join(path, "index"))
     return path
 
 
@@ -135,6 +167,7 @@ def update_minhash(
     id_col: str = "doc_id",
     change_col: str = "_change",
     before_col: str = "_before",
+    epoch_id: str | None = None,
 ) -> dict:
     """Apply a CDC changes feed to a materialized MinHash index.
 
@@ -146,12 +179,28 @@ def update_minhash(
     snapshot diff is by construction; a raw multi-event stream must be
     LWW-folded first (the same contract merge() has for upserts).
 
-    Old rows of updated/deleted docs are located by re-signing the
-    before-image text: identical text ⇒ identical band keys ⇒ identical
-    partitions, so the anti-join that removes them only needs the affected
-    partitions. Result ≡ a full ``materialize_minhash`` rebuild over the
-    updated corpus. Returns the affected/emptied partition lists plus
-    whether the exact (before-image) location path was taken."""
+    Old rows of updated/deleted docs are located EXACTLY, in preference
+    order (``old_location`` in the return dict):
+
+    - ``before_image``: re-sign the before-image text — identical text ⇒
+      identical band keys ⇒ identical partitions.
+    - ``sidecar``: no before-images (``include_old=False`` / a Debezium
+      wire without them) but the index carries the doc→band_keys sidecar —
+      the changed ids' OLD band keys come from a bucket-pruned
+      ``read_keys`` point lookup (the reference's checkpoint reload is the
+      same shape: a point lookup by vbID,
+      /root/reference/kafka/metadata/kafka_metadata.go:48-129). Still
+      O(changed): only ``bands × changed`` partitions are touched.
+    - ``full``: neither available (index materialized with
+      ``sidecar=False`` before r6) — the documented O(index) anti-join
+      over every partition.
+
+    Result ≡ a full ``materialize_minhash`` rebuild over the updated
+    corpus on every path. The sidecar itself is maintained in the same
+    call (merge upserts for new/updated docs, deletes for removals);
+    ``epoch_id`` keys that merge (auto-unique when omitted — replaying an
+    epoch's feed is content-idempotent regardless). Returns the
+    affected/emptied partition lists plus the location path taken."""
     p = _load_params(path)
     index_dir = os.path.join(path, "index")
     ch = changes.select(
@@ -187,28 +236,59 @@ def update_minhash(
     ).localCheckpoint(eager=True)  # reused: parts collect + final union
     new_parts = {r["part"] for r in new_rows.select("part").distinct().collect()}
 
-    exact_old = False
+    old_location = None
     old_parts: set[int] = set()
+    noninsert = ch.filter(F.col("_change") != "insert")
     if "_ot" in ch.columns:
-        noninsert = ch.filter(F.col("_change") != "insert")
         missing = noninsert.filter(F.col("_ot").isNull()).limit(1).count()
         if missing == 0:
-            exact_old = True
+            old_location = "before_image"
             old_rows = _band_rows(
                 noninsert.select("doc_id", F.col("_ot").alias("_txt")), "_txt", p
             )
             old_parts = {r["part"] for r in old_rows.select("part").distinct().collect()}
-    if not exact_old:
-        # no before-image: any partition may hold the docs' old rows
+    if old_location is None and p.get("sidecar"):
+        # no before-images: the sidecar hands back the changed ids' OLD
+        # band keys by bucket-pruned point lookup — O(changed), exact
+        old_keys = _sidecar_table(spark, path, p).read_keys(noninsert.select("doc_id"))
+        old_parts = {
+            r["part"]
+            for r in old_keys.select(F.explode("band_keys").alias("bk"))
+            .select(F.pmod(F.col("bk"), F.lit(p["num_parts"])).alias("part"))
+            .distinct()
+            .collect()
+        }
+        old_location = "sidecar"
+    if old_location is None:
+        # neither before-images nor a sidecar: any partition may hold the
+        # docs' old rows — the documented O(index) fallback
+        old_location = "full"
         old_parts = {
             int(d.split("=")[1])
             for d in os.listdir(index_dir)
             if d.startswith("part=")
         }
 
+    if p.get("sidecar"):
+        # keep the sidecar tracking the index (old keys above were read
+        # BEFORE this merge): new/updated docs overwrite their key list,
+        # deleted docs leave
+        import uuid
+
+        _sidecar_table(spark, path, p).merge(
+            new_rows.groupBy("doc_id").agg(F.collect_list("band_key").alias("band_keys")),
+            ch.filter(F.col("_change") == "delete").select("doc_id"),
+            epoch_id=epoch_id if epoch_id is not None else f"mhidx-{uuid.uuid4().hex[:12]}",
+        )
+
     affected = sorted(new_parts | old_parts)
     if not affected:
-        return {"affected_parts": [], "emptied_parts": [], "exact_old_location": exact_old}
+        return {
+            "affected_parts": [],
+            "emptied_parts": [],
+            "exact_old_location": old_location != "full",
+            "old_location": old_location,
+        }
 
     index = _read_index(spark, index_dir, p)
     remaining = index.filter(F.col("part").isin(affected)).join(
@@ -229,7 +309,8 @@ def update_minhash(
     return {
         "affected_parts": affected,
         "emptied_parts": emptied,
-        "exact_old_location": exact_old,
+        "exact_old_location": old_location != "full",
+        "old_location": old_location,
     }
 
 
@@ -484,6 +565,7 @@ def maintain_exact_dedup(
     id_col: str = "doc_id",
     epoch_id: str | None = None,
     reserve_r: int = 4,
+    metrics=None,
 ) -> dict:
     """One maintenance cycle for a CDC-tracked EXACT-dedup table keyed by
     ``h`` (md5 of text) carrying ``n_copies`` and ``keeper_id`` =
@@ -517,5 +599,6 @@ def maintain_exact_dedup(
         min_map={"doc_id": "keeper_id"},
         base_table=_HashedCorpus(base_table, text_col, id_col),
         reserve_r=reserve_r,
+        metrics=metrics,
         epoch_id=epoch_id if epoch_id is not None else f"xdedup-{base_table.version()}",
     )

@@ -297,7 +297,33 @@ def materialize_ivf(
         .mode("overwrite")
         .parquet(corpus_dir)
     )
+    # per-cell quantizer-fit BASELINE for drift tracking (maintain_ivf):
+    # mean within-cell cosine spread at train time, so later updates can
+    # measure degradation relative to the trained fit rather than absolute
+    # intra-cluster spread
+    import json
+
+    spark_s = embeddings.sparkSession
+    spread = _cell_spread(spark_s.read.parquet(corpus_dir), centroids, vec_col)
+    with open(os.path.join(path, "drift.json"), "w") as f:
+        json.dump({"base": spread, "last": dict(spread), "epochs_since_train": 0}, f)
     return path
+
+
+def _cell_spread(rows: DataFrame, centroids: DataFrame, vec_col: str) -> dict:
+    """Mean within-cell cosine DISSIMILARITY (1 - cos(vec, centroid)) per
+    cell — the drift signal. One broadcast join + one combinable groupBy
+    over exactly the rows handed in (the full corpus at materialize time,
+    only the rewritten cells' rows during an update — data the caller just
+    scanned anyway). K values driver-side."""
+    got = (
+        rows.filter(F.col("cell").isNotNull())
+        .join(F.broadcast(centroids), F.col("cell") == F.col("cid"))
+        .groupBy("cell")
+        .agg(F.avg(F.lit(1.0) - cosine_expr(F.col(vec_col), F.col("ce"))).alias("spread"))
+        .collect()
+    )
+    return {str(r["cell"]): round(float(r["spread"]), 6) for r in got}
 
 
 def update_ivf(
@@ -396,10 +422,90 @@ def update_ivf(
     for c in emptied:
         dname = "cell=__HIVE_DEFAULT_PARTITION__" if c is None else f"cell={c}"
         shutil.rmtree(os.path.join(corpus_dir, dname), ignore_errors=True)
-    return {
+    res = {
         "affected_cells": affected + ([None] if has_null_cell else []),
         "emptied_cells": emptied,
     }
+    dj = os.path.join(path, "drift.json")
+    if os.path.exists(dj):
+        # refresh the drift signal for exactly the rewritten cells: `out`
+        # (already checkpointed) IS their new content, so this costs one
+        # broadcast join + combinable groupBy over the slice just written —
+        # no extra corpus IO. Quantizer degradation = spread now minus
+        # spread at train time ("base"); maintain_ivf turns it into a
+        # retrain trigger.
+        import json
+
+        with open(dj) as f:
+            state = json.load(f)
+        state["last"].update(_cell_spread(out, cents, vec_col))
+        for c in emptied:
+            state["last"].pop(str(c), None)
+            state["base"].pop(str(c), None)
+        state["epochs_since_train"] = int(state.get("epochs_since_train", 0)) + 1
+        with open(dj, "w") as f:
+            json.dump(state, f)
+        drift = {
+            c: round(s - state["base"].get(c, s), 6) for c, s in state["last"].items()
+        }
+        res["drift_max"] = max(drift.values(), default=0.0)
+        res["epochs_since_train"] = state["epochs_since_train"]
+    return res
+
+
+def maintain_ivf(
+    spark,
+    path: str,
+    changes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    change_col: str = "_change",
+    retrain_threshold: float | None = None,
+    retrain_every: int | None = None,
+    n_iter: int = 2,
+) -> dict:
+    """``update_ivf`` + the quantizer-drift lifecycle (r5 verdict item 6:
+    train -> maintain -> RETRAIN). ``update_ivf`` re-assigns changed vectors
+    against FIXED centroids, so sustained CDC churn degrades the coarse
+    quantizer — cells grow wide, probes read more rows for the same recall.
+    This wrapper watches the per-cell spread signal the update already
+    refreshes (mean within-cell cosine dissimilarity vs its value at train
+    time, drift.json) and, when a knob fires, retrains the quantizer with
+    ``kmeans_train`` over the CURRENT corpus and re-materializes — resetting
+    the drift baseline.
+
+    Knobs (either, both, or neither):
+    - ``retrain_threshold``: retrain when any cell's spread grew by more
+      than this over its train-time baseline (``drift_max``).
+    - ``retrain_every``: unconditional retrain every N update epochs — the
+      belt-and-braces schedule for corpora whose drift is slow but steady.
+
+    The retrain is a FULL rebuild (one corpus scan per k-means round + one
+    re-materialize) — the point of the knob is paying that cost when the
+    signal says so instead of every epoch or never. K (number of cells) is
+    preserved from the existing centroid table. Returns the update stats
+    plus ``retrained`` and the triggering ``drift_max``."""
+    import os
+
+    res = update_ivf(
+        spark, path, changes, id_col=id_col, vec_col=vec_col, change_col=change_col
+    )
+    drift_max = res.get("drift_max", 0.0)
+    epochs = res.get("epochs_since_train", 0)
+    fire = bool(
+        (retrain_threshold is not None and drift_max > retrain_threshold)
+        or (retrain_every is not None and epochs >= retrain_every)
+    )
+    res["retrained"] = fire
+    if fire:
+        corpus = spark.read.parquet(os.path.join(path, "corpus")).select(id_col, vec_col)
+        k = spark.read.parquet(os.path.join(path, "centroids")).count()
+        cents = kmeans_train(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+        # localCheckpoint: materialize_ivf overwrites the corpus dir the
+        # training input is still lazily reading from
+        corpus = corpus.localCheckpoint(eager=True)
+        materialize_ivf(corpus, cents, path, id_col=id_col, vec_col=vec_col)
+    return res
 
 
 def ivf_probe_cells(centroids, query_vec: list[float], nprobe: int, c_id: str = "cid", c_vec: str = "ce") -> list[int]:

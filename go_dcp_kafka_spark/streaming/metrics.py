@@ -35,6 +35,20 @@ LAG_BYTES = "connector_lag_bytes_current"
 #: Legacy name: mirrors LAG_FILES when the source reports files, else
 #: LAG_BYTES — single-unit, never a files+bytes sum.
 LAG_BATCHES = "connector_lag_batches_current"
+#: Rejection (DLQ) pressure — the reference logs each rejection through its
+#: sink handler (rejection_log_sink_response_handler.go); a 100×-scale
+#: operator needs the rate on the dashboard, not in per-epoch dicts
+#: (r5 verdict item 7). `_current` = last epoch's row count across stages;
+#: `_total` = monotone counter since pipeline start.
+REJECTED_ROWS = "connector_rejected_rows_current"
+REJECTED_ROWS_TOTAL = "connector_rejected_rows_total"
+#: IVM maintenance cost — recomputed_groups from apply_agg_deltas /
+#: maintain_exact_dedup (the bounded extremum-recompute scans). With the r6
+#: extrema reserve this should sit at 0 on healthy feeds; a climbing total
+#: is the observable signal that reserves are exhausting (deletion storm or
+#: undersized reserve_r).
+IVM_RECOMPUTED_GROUPS = "ivm_recomputed_groups_current"
+IVM_RECOMPUTED_GROUPS_TOTAL = "ivm_recomputed_groups_total"
 
 
 class MetricsRegistry:
@@ -48,6 +62,11 @@ class MetricsRegistry:
     def set(self, name: str, value: float) -> None:
         with self._lock:
             self._gauges[name] = value
+
+    def inc(self, name: str, delta: float = 1.0) -> None:
+        """Monotone counter update (the ``*_total`` convention)."""
+        with self._lock:
+            self._gauges[name] = self._gauges.get(name, 0.0) + delta
 
     def get(self, name: str, default: float | None = None) -> float | None:
         with self._lock:
@@ -65,7 +84,8 @@ class MetricsRegistry:
         lines = []
         for name, value in sorted(self.snapshot().items()):
             fq = f"{namespace}_{name}"
-            lines.append(f"# TYPE {fq} gauge")
+            kind = "counter" if name.endswith("_total") else "gauge"
+            lines.append(f"# TYPE {fq} {kind}")
             lines.append(f"{fq} {value}")
         return "\n".join(lines) + ("\n" if lines else "")
 

@@ -440,6 +440,18 @@ class CdcPipeline:
                         table.expire_snapshots(keep_last=self.keep_snapshots)
                     self._expire_rejections()
                     self._epochs_since_expire = 0
+            if self.metrics is not None:
+                # rejection pressure on the live dashboard (r5 verdict
+                # item 7), not only in last_stats dicts
+                from go_dcp_kafka_spark.streaming.metrics import (
+                    REJECTED_ROWS,
+                    REJECTED_ROWS_TOTAL,
+                )
+
+                n_rej = float(sum(self._epoch_rejects.values()))
+                self.metrics.set(REJECTED_ROWS, n_rej)
+                if n_rej:
+                    self.metrics.inc(REJECTED_ROWS_TOTAL, n_rej)
             # per-phase latency breakdown (the reference's latency gauges,
             # collector.go:38-56, at phase granularity) — observability for
             # tuning per-epoch fixed cost

@@ -566,3 +566,97 @@ def test_update_ivf_tracks_cdc_changes(spark, tmp_path):
     a = [tuple(r) for r in ivf_topk_materialized(spark, idx, q, k=5, nprobe=2).collect()]
     b = [tuple(r) for r in ivf_topk_materialized(spark, rebuilt, q, k=5, nprobe=2).collect()]
     assert a == b and a[0][0] == 300  # the inserted vector is findable
+
+
+def test_maintain_ivf_drift_retrain(spark, tmp_path):
+    """r5 verdict item 6 — the ANN lifecycle closes (train -> maintain ->
+    RETRAIN): update_ivf re-assigns changed vectors to FIXED centroids, so
+    an epoch landing a NEW embedding region degrades the quantizer — the
+    drifted cell's spread signal (refreshed by the update from exactly the
+    rows it rewrites) crosses the threshold, maintain_ivf retrains
+    kmeans + re-materializes, and nprobe=1 recall for a query in the new
+    region recovers to exact. Below the threshold nothing fires and the
+    quantizer files are untouched."""
+    import os
+
+    from go_dcp_kafka_spark.functions.similarity import (
+        cosine_topk,
+        ivf_topk_materialized,
+        kmeans_train,
+        maintain_ivf,
+        materialize_ivf,
+        update_ivf,
+    )
+
+    def vecs():
+        rows = []
+        for i in range(20):  # ids interleave clusters so kmeans seeds spread
+            rows.append((i * 3 + 0, [1.0, 0.0, 0.001 * i, 0.0]))      # A
+            rows.append((i * 3 + 1, [0.0, 1.0, 0.0, 0.001 * i]))      # B
+            rows.append((i * 3 + 2, [0.0, 0.001 * i, 0.0, 1.0]))      # D
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    emb = vecs()
+    trained = kmeans_train(emb, k=3, n_iter=3)
+    path = str(tmp_path / "ivf")
+    materialize_ivf(emb, trained, path)
+    cent_files = sorted(os.listdir(os.path.join(path, "centroids")))
+    cent_mtime = os.path.getmtime(os.path.join(path, "centroids"))
+
+    # 1) small epoch, below threshold: no retrain, quantizer untouched
+    small = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.05, 0.0], "update")],
+        "vec_id long, embedding array<double>, _change string",
+    )
+    res = maintain_ivf(spark, path, small, retrain_threshold=0.2)
+    assert res["retrained"] is False and res["drift_max"] < 0.2
+    assert sorted(os.listdir(os.path.join(path, "centroids"))) == cent_files
+    assert os.path.getmtime(os.path.join(path, "centroids")) == cent_mtime
+
+    # the drifting epoch: 10 inserts in a NEW region C ~ [0.1, 0, 1, 0] —
+    # they assign to A's old centroid (tiny positive x), blowing up cell
+    # A's spread. Query q ~ [0, 0.1, 1, 0] truly matches the C vectors, but
+    # its nearest OLD centroid is B's: nprobe=1 recall collapses until the
+    # quantizer retrains.
+    drift_rows = [
+        (1000 + j, [0.1, 0.0, 1.0, 0.0008 * j], "insert") for j in range(10)
+    ]
+    drift = spark.createDataFrame(
+        drift_rows, "vec_id long, embedding array<double>, _change string"
+    )
+    q = [0.0, 0.1, 1.0, 0.0]
+
+    # 2) control copy maintained WITHOUT the knob: recall is demonstrably
+    # broken after the drift epoch
+    path2 = str(tmp_path / "ivf_nokob")
+    materialize_ivf(vecs(), trained, path2)
+    update_ivf(spark, path2, drift)
+    all_vecs = vecs().unionByName(
+        drift.select("vec_id", "embedding")
+    ).join(small.select("vec_id"), "vec_id", "left_anti").unionByName(
+        small.select("vec_id", "embedding")
+    )
+    truth = [r["vec_id"] for r in cosine_topk(vecs().unionByName(
+        drift.select("vec_id", "embedding")), q, k=5).collect()]
+    assert all(i >= 1000 for i in truth), "true neighbors must be the new region"
+    pre = [r["vec_id"] for r in ivf_topk_materialized(spark, path2, q, k=5, nprobe=1).collect()]
+    assert not set(pre) & set(truth), f"drifted quantizer should miss: {pre}"
+
+    # 3) the knob fires on the same epoch: retrain + recall recovers exactly
+    res = maintain_ivf(spark, path, drift, retrain_threshold=0.2)
+    assert res["retrained"] is True and res["drift_max"] > 0.2
+    post = [r["vec_id"] for r in ivf_topk_materialized(spark, path, q, k=5, nprobe=1).collect()]
+    truth_with_small = [r["vec_id"] for r in cosine_topk(all_vecs, q, k=5).collect()]
+    assert post == truth_with_small, (post, truth_with_small)
+
+    # 4) retrain_every knob: unconditional schedule fires regardless of drift
+    path3 = str(tmp_path / "ivf_every")
+    materialize_ivf(vecs(), trained, path3)
+    r1 = maintain_ivf(spark, path3, small, retrain_every=2)
+    r2 = maintain_ivf(
+        spark, path3,
+        spark.createDataFrame([(3, [1.0, 0.0, 0.06, 0.0], "update")],
+                              "vec_id long, embedding array<double>, _change string"),
+        retrain_every=2,
+    )
+    assert r1["retrained"] is False and r2["retrained"] is True

@@ -102,13 +102,51 @@ def test_update_minhash_tracks_cdc_changes(spark, tmp_path, corpus_table):
     assert not any(p == 5 for p, _ in cand)
 
 
-def test_update_minhash_without_before_image_falls_back(spark, tmp_path, corpus_table):
-    """No _before column => the documented O(index) fallback: all partitions
-    are rewritten, result still equals the rebuild."""
+def test_update_minhash_without_before_image_uses_sidecar(spark, tmp_path, corpus_table):
+    """r5 verdict item 4: an include_old=False feed (the common Debezium
+    wire without before-images) locates old index rows via the
+    doc→band_keys SIDECAR point lookup — O(changed): ≤ bands × changed
+    partitions rewritten, untouched partition files bit-identical, result
+    equal to a rebuild. A second sidecar-located epoch composes (the
+    sidecar tracked epoch 1's new keys)."""
+    t = corpus_table
+    idx = str(tmp_path / "mh")
+    materialize_minhash(t.read(), idx, num_parts=64, bands=4)
+
+    for i, (ins_id, upd_id, del_id) in enumerate([(200, 5, 2), (201, 200, 9)]):
+        v = t.version()
+        ups = spark.createDataFrame(
+            [(ins_id, _text(ins_id)), (upd_id, "totally different text now here %d" % i)],
+            "doc_id long, text string",
+        )
+        t.merge_mor(
+            ups, spark.createDataFrame([(del_id,)], "doc_id long"),
+            epoch_id=f"e{i}", n_updates=3,
+        )
+        pre = _part_files(idx)
+        changes = t.read_changes(v)  # no include_old
+        res = update_minhash(spark, idx, changes)
+        assert res["old_location"] == "sidecar" and res["exact_old_location"] is True
+        # O(changed) pin: ≤ bands × (old images + new images) partitions
+        assert len(res["affected_parts"]) <= 4 * 5, res
+        post = _part_files(idx)
+        untouched = [d for d in pre if int(d.split("=")[1]) not in res["affected_parts"]]
+        assert untouched, "64 partitions vs ≤20 affected must leave most untouched"
+        for d in untouched:
+            assert post[d] == pre[d], f"{d} was rewritten"
+
+    rebuilt = str(tmp_path / "mh_full")
+    materialize_minhash(t.read(), rebuilt, num_parts=64, bands=4)
+    assert _index_rows(spark, idx) == _index_rows(spark, rebuilt)
+
+
+def test_update_minhash_no_sidecar_falls_back(spark, tmp_path, corpus_table):
+    """sidecar=False + no _before column => the documented O(index)
+    fallback: all partitions rewritten, result still equals the rebuild."""
     t = corpus_table
     v1 = t.version()
     idx = str(tmp_path / "mh")
-    materialize_minhash(t.read(), idx, num_parts=8)
+    materialize_minhash(t.read(), idx, num_parts=8, sidecar=False)
 
     ups = spark.createDataFrame([(200, _text(200))], "doc_id long, text string")
     t.merge_mor(
@@ -116,10 +154,10 @@ def test_update_minhash_without_before_image_falls_back(spark, tmp_path, corpus_
     )
     changes = t.read_changes(v1)  # no include_old
     res = update_minhash(spark, idx, changes)
-    assert res["exact_old_location"] is False
+    assert res["exact_old_location"] is False and res["old_location"] == "full"
 
     rebuilt = str(tmp_path / "mh_full")
-    materialize_minhash(t.read(), rebuilt, num_parts=8)
+    materialize_minhash(t.read(), rebuilt, num_parts=8, sidecar=False)
     assert _index_rows(spark, idx) == _index_rows(spark, rebuilt)
 
 

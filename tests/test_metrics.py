@@ -89,3 +89,53 @@ def test_prometheus_text_exposition():
     assert "cbgo_batch_produce_latency_ms_current 3.0" in text
     assert text.endswith("\n")
     assert MetricsRegistry().prometheus_text() == ""
+
+
+def test_rejection_and_ivm_gauges_in_prometheus_text(spark, log_dir, tmp_path):
+    """r5 verdict item 7: DLQ/rejection pressure and the IVM recompute cost
+    surface as gauges in prometheus_text — the dashboard view of what was
+    previously observable only in per-epoch return dicts. A climbing
+    ivm_recomputed_groups_total is the signal that extrema reserves are
+    exhausting."""
+    from go_dcp_kafka_spark.operators.ivm import bootstrap_agg, maintain_agg
+    from go_dcp_kafka_spark.streaming.metrics import (
+        IVM_RECOMPUTED_GROUPS,
+        IVM_RECOMPUTED_GROUPS_TOTAL,
+        REJECTED_ROWS,
+        REJECTED_ROWS_TOTAL,
+    )
+    from go_dcp_kafka_spark.table.snapshot import SnapshotTable
+
+    reg = MetricsRegistry()
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "t"), run_id="gdash", metrics=reg,
+        max_message_bytes=125,  # forces some oversize rejections
+    )
+    pipe.run_stream(log_dir, str(tmp_path / "ck"), max_files_per_trigger=8)
+    assert (reg.get(REJECTED_ROWS_TOTAL) or 0) > 0, reg.snapshot()
+
+    # downstream IVM consumer publishing into the SAME registry: a
+    # reserve-less keeper-style deletion forces one recompute
+    base = SnapshotTable(spark, str(tmp_path / "b"), ("k",), num_buckets=2)
+    base.overwrite(
+        spark.createDataFrame([(i, "g0", i, "t") for i in range(4)],
+                              "k long, g string, x long, txt string"),
+        epoch_id="b0",
+    )
+    agg = SnapshotTable(spark, str(tmp_path / "a"), ("g",), num_buckets=2)
+    agg.overwrite(bootstrap_agg(base.read(), ["g"], min_cols=["x"]), epoch_id="a0")
+    v = base.version()
+    base.merge_mor(
+        spark.createDataFrame([], "k long, g string, x long, txt string"),
+        spark.createDataFrame([(0,)], "k long"), epoch_id="e1", n_updates=1,
+    )
+    r = maintain_agg(base, agg, v, ["g"], min_cols=["x"], epoch_id="m1", metrics=reg)
+    assert r["recomputed_groups"] == 1
+    assert reg.get(IVM_RECOMPUTED_GROUPS) == 1.0
+    assert reg.get(IVM_RECOMPUTED_GROUPS_TOTAL) == 1.0
+
+    text = reg.prometheus_text()
+    assert f"# TYPE cbgo_{REJECTED_ROWS} gauge" in text
+    assert f"# TYPE cbgo_{REJECTED_ROWS_TOTAL} counter" in text
+    assert f"# TYPE cbgo_{IVM_RECOMPUTED_GROUPS_TOTAL} counter" in text
+    assert f"cbgo_{IVM_RECOMPUTED_GROUPS} 1.0" in text

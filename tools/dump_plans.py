@@ -220,6 +220,26 @@ def main() -> None:
         "O(changed) view maintenance.",
     )
 
+    cap(
+        "IVM reserve-mode delta aggregation (r6: two-level salted, R-bounded buffers)",
+        agg_deltas(
+            tbl.read_changes(v1, include_old=True),
+            ["v"],
+            ["k"],
+            reserve_r=4,
+            reserve_min_cols=["k"],
+        ),
+        "Reserve mode swaps the MIN/MAX scalars for R-bounded extrema "
+        "arrays: TWO combinable HashAggregate pairs — a spark_partition_id-"
+        "salted pre-level caps every collect buffer at R elements, the "
+        "final merge flattens ≤ splits×R per group — so a Zipf-hot group's "
+        "epoch never builds an unbounded collect_list buffer. Downstream "
+        "the reserve CONSUMES extremum retractions (array aggregate + "
+        "positional splice per changed group, driver-free) and the bounded "
+        "recompute scan fires only when R extremum-side deletions exhaust "
+        "a group's reserve.",
+    )
+
     from go_dcp_kafka_spark.functions.dedup_index import (
         materialize_minhash,
         probe_near_dups,
