@@ -74,48 +74,13 @@ def _cents(col):
     return F.round(col * 100).cast("long")
 
 
-_SCENARIO_VERSION = "r6a"  # bump when a scenario query's construction changes
-
-
-def _cached_result(spark: SparkSession, name: str, sf_dir: str, build) -> DataFrame:
-    """Result cache for the CDC-maintenance SCENARIO queries (r5 verdict
-    item 3): each builds a corpus table + derived artifact, applies one CDC
-    epoch and maintains the artifact — fully deterministic per (sf_dir,
-    code version), so repeated invocations (bench reps, oracle sweeps,
-    driver CORRECTNESS) reread the maintained RESULT instead of replaying
-    ~5-9 s of scenario construction. The first call in a cache lifetime
-    still exercises the full incremental path — the cached parquet IS its
-    output, so correctness checks keep verifying the maintenance
-    arithmetic. Writes are atomic (tmp + os.replace; concurrent builders
-    race benignly, last byte-identical write wins). ``_SCENARIO_VERSION``
-    keys the cache to the scenario code; ``GDKS_SCENARIO_CACHE=0`` bypasses
-    entirely (the r4/r5 'rebuilt from scratch each call' behavior)."""
-    if os.environ.get("GDKS_SCENARIO_CACHE", "1") == "0":
-        return build()
-    import hashlib
-    import shutil
-    import tempfile
-
-    key = hashlib.md5(
-        f"{name}|{_SCENARIO_VERSION}|{os.path.abspath(sf_dir)}".encode()
-    ).hexdigest()[:12]
-    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
-    try:
-        os.makedirs(root, exist_ok=True)
-    except OSError:
-        root = tempfile.gettempdir()
-    path = os.path.join(root, f"gdks_scenario_{name}_{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        df = build()
-        tmp = f"{path}.tmp.{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
-        try:
-            os.replace(tmp, path)
-        except OSError:
-            path = tmp
-    return spark.read.parquet(path)
+# r7: the r6 scenario result-cache (`_cached_result`/`_CACHED_SCENARIOS`)
+# is REMOVED. It persisted maintained-scenario outputs across runs keyed on
+# (sf_dir, hand-bumped version), so repeated bench/correctness invocations
+# verified and timed a pre-built parquet instead of the maintenance path —
+# result caching, not optimization. Every scenario query now replays its
+# full build + CDC epoch + incremental maintenance on every invocation;
+# the round-7 work makes THAT path fast instead.
 
 
 # ============================================================ CDC operators
@@ -312,7 +277,7 @@ def q_cdc_type_widening(spark, sf_dir):
     early = spark.read.parquet(f"{path}/part-0.parquet")
     late = spark.read.parquet(f"{path}/part-1.parquet")
     t.overwrite(early.select("k", "x", "f"), epoch_id="w0")
-    t.merge_mor(late.select("k", "x", "f"), None, epoch_id="w1", n_updates=late.count())
+    t.merge_mor(late.select("k", "x", "f"), None, epoch_id="w1")
     return t.read().select(
         "k", F.col("x").cast("long").alias("x"), F.col("f").cast("double").alias("f")
     )
@@ -341,7 +306,6 @@ def q_cdc_read_changes(spark, sf_dir):
         ops.filter(F.col("op") == "mutation").select("k", "v", "n"),
         ops.filter(F.col("op") == "deletion").select("k"),
         epoch_id="c1",
-        n_updates=ops.count(),
     )
     # n as double on BOTH twins: deletes carry null, and a nullable BIGINT
     # degrades to float64 in the oracle's pandas frame (dtype-kind parity)
@@ -444,7 +408,6 @@ def q_cdc_ivm_agg(spark, sf_dir):
         ),
         ops.filter(F.col("op") == "deletion").select("k"),
         epoch_id="i1",
-        n_updates=ops.count(),
     )
     maintain_agg(
         t, a, v1, ["g"], ["n"], min_cols=["n"], max_cols=["n"], epoch_id="ivm1", reserve_r=4
@@ -698,6 +661,10 @@ def q_doc_minhash_index(spark, sf_dir):
     t.overwrite(docs, epoch_id="m0")
     v1 = t.version()
     idx = _scratch_table_dir(anchor, "mhidx_index")
+    # sidecar=False (r7): this query maintains the index through the
+    # BEFORE-IMAGE path, so the doc->band_keys sidecar would never be read;
+    # building and merging it was pure overhead (doc_minhash_sidecar is the
+    # query that exercises the sidecar path end to end)
     materialize_minhash(
         t.read(),
         idx,
@@ -705,6 +672,7 @@ def q_doc_minhash_index(spark, sf_dir):
         bands=NEAR_DUP_BANDS,
         shingle_words=3,
         num_parts=32,
+        sidecar=False,
     )
     # one CDC epoch over disjoint mod-13 slices: update / delete / insert
     ups = docs.filter(F.col("doc_id") % 13 == 3).select(
@@ -716,7 +684,7 @@ def q_doc_minhash_index(spark, sf_dir):
     )
     dels = docs.filter(F.col("doc_id") % 13 == 7).select("doc_id")
     upserts = ups.unionByName(ins)
-    t.merge_mor(upserts, dels, epoch_id="m1", n_updates=upserts.count())
+    t.merge_mor(upserts, dels, epoch_id="m1")
     update_minhash(spark, idx, t.read_changes(v1, include_old=True))
     return spark.read.parquet(os.path.join(idx, "index")).select(
         "doc_id", "band_id", "band_key", F.col("part").cast("int").alias("part")
@@ -768,7 +736,7 @@ def q_doc_minhash_sidecar(spark, sf_dir):
     )
     dels = docs.filter(F.col("doc_id") % 17 == 2).select("doc_id")
     upserts = ups.unionByName(ins)
-    t.merge_mor(upserts, dels, epoch_id="sc1", n_updates=upserts.count())
+    t.merge_mor(upserts, dels, epoch_id="sc1")
     res = update_minhash(spark, idx, t.read_changes(v1))  # NO include_old
     if res["old_location"] != "sidecar":
         raise RuntimeError(f"expected sidecar old-row location, got {res['old_location']}")
@@ -807,6 +775,7 @@ def q_doc_probe_verify(spark, sf_dir):
     )
     t.overwrite(docs, epoch_id="pv0")
     idx = _scratch_table_dir(anchor, "pv_index")
+    # sidecar=False (r7): probing never consults the doc->band_keys sidecar
     materialize_minhash(
         t.read(),
         idx,
@@ -814,6 +783,7 @@ def q_doc_probe_verify(spark, sf_dir):
         bands=NEAR_DUP_BANDS,
         shingle_words=3,
         num_parts=32,
+        sidecar=False,
     )
     probe = (
         docs.filter(F.col("doc_id") % 61 == 5)
@@ -880,7 +850,7 @@ def q_doc_vocab_ivm(spark, sf_dir):
     )
     dels = docs.filter(F.col("doc_id") % 13 == 7).select("doc_id")
     upserts = ups.unionByName(ins)
-    t.merge_mor(upserts, dels, epoch_id="vd1", n_updates=upserts.count())
+    t.merge_mor(upserts, dels, epoch_id="vd1")
     maintain_vocab(vt, t, v1, epoch_id="vm1")
     return vt.read().select("word", F.col("df").cast("long").alias("df"))
 
@@ -933,7 +903,7 @@ def q_doc_dedup_ivm(spark, sf_dir):
     dels = docs.filter(F.col("doc_id") % 13 == 7).select("doc_id").unionByName(
         docs.filter(F.col("doc_id") % 13 == 2).select("doc_id")
     )
-    t.merge_mor(ups, dels, epoch_id="x1", n_updates=ups.count() + dels.count())
+    t.merge_mor(ups, dels, epoch_id="x1")
     maintain_exact_dedup(dt, t, v1, epoch_id="xd1", reserve_r=4)
     return dt.read().select(
         "h",
@@ -1168,24 +1138,24 @@ def q_emb_ivf_mat(spark, sf_dir):
 
 
 def _ivf_table(spark, sf_dir, n_centroids: int = 16) -> str:
-    """Materialize (once) the IVF cell-partitioned twin of the embeddings
-    table for this sf_dir — the deterministic 'trained + partitioned' asset
-    a real deployment maintains."""
-    import glob as _glob
+    """Materialize the IVF cell-partitioned twin of the embeddings table
+    into a per-process scratch dir — REBUILT on every call (r7: no
+    persisted artifacts keyed on the testdata across runs; the query's cost
+    includes the build it claims). ``drift_baseline=False``: this query
+    searches the index, it never runs maintain_ivf, so the per-cell drift
+    baseline (an extra corpus pass — the r6 emb_ivf_mat/+21% regression)
+    is skipped; maintenance callers keep the default."""
+    import tempfile
 
     from go_dcp_kafka_spark.functions.similarity import materialize_ivf
 
-    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
-    os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"gdks_ivf_{tag}_{n_centroids}")
-    if _glob.glob(os.path.join(path, "corpus", "cell=*", "*.parquet")):
-        return path
+    anchor = os.path.join(tempfile.gettempdir(), "gdks_anchor")
+    path = _scratch_table_dir(anchor, f"ivf_mat_{n_centroids}")
     emb = _read(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    materialize_ivf(emb, cents, path)
+    materialize_ivf(emb, cents, path, drift_baseline=False)
     return path
 
 
@@ -1274,31 +1244,8 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_full_fold(spark, "/root/testdata/sf0.001")
 
 
-# scenario queries (build table + artifact, apply a CDC epoch, maintain):
-# deterministic per (sf_dir, _SCENARIO_VERSION) -> result-cached via
-# _cached_result; GDKS_SCENARIO_CACHE=0 restores rebuild-per-call
-_CACHED_SCENARIOS = (
-    "cdc_ivm_agg",
-    "doc_minhash_index",
-    "doc_minhash_sidecar",
-    "doc_probe_verify",
-    "doc_vocab_ivm",
-    "doc_dedup_ivm",
-)
-
-
-def _with_scenario_cache(qs: dict) -> dict:
-    for n in _CACHED_SCENARIOS:
-        qs[n] = (
-            lambda f, n: lambda spark, sf_dir: _cached_result(
-                spark, n, sf_dir, lambda: f(spark, sf_dir)
-            )
-        )(qs[n], n)
-    return qs
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _with_scenario_cache({
+    return {
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_hwm_dedup": q_cdc_hwm_dedup,
         "cdc_count_by_op": q_cdc_count_by_op,
@@ -1356,7 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "media_resize": q_media_resize,
-    })
+    }
 
 
 # --------------------------------------------------------------- oracle SQL

@@ -64,6 +64,21 @@ def _band_rows(docs: DataFrame, text_col: str, p: dict) -> DataFrame:
     return bk.withColumn("part", F.pmod(F.col("band_key"), F.lit(p["num_parts"])))
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Spread a SMALL frame that feeds the expensive signing projection
+    across the cluster's cores. CDC-poll frames arrive here as the output
+    of an AQE-coalesced shuffle or a localCheckpoint — often 1-3 partitions
+    — and md5-signing a few thousand docs serially was the single largest
+    cost in the r7 profile of update_minhash (6.5 s of a 22 s call at
+    local[32]/sf1.0). The shuffle moved is the poll-sized rows themselves
+    (KBs-MBs); at real scale a poll spans many partitions already and this
+    round-robin is a cheap rebalance of a tiny frame either way."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def _load_params(path: str) -> dict:
     with open(os.path.join(path, "params.json")) as f:
         return json.load(f)
@@ -146,7 +161,11 @@ def materialize_minhash(
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "params.json"), "w") as f:
         json.dump(p, f)
-    rows = _band_rows(docs, text_col, p)
+    # _fan: a SnapshotTable.read() of a few bucket files arrives as a
+    # handful of scan partitions; the signing projection is the expensive
+    # part of the build, so spread it over every core first (r7 — the
+    # sf1.0 profile showed the build running on ~8 of 32 cores)
+    rows = _band_rows(_fan(docs), text_col, p)
     if sidecar:
         # the band rows are a pure projection of docs — localCheckpoint so
         # the index write and the sidecar aggregation share one signing pass
@@ -218,100 +237,123 @@ def update_minhash(
     # would otherwise each re-run the upstream plan (r5 micro: 8.7s -> ~3s
     # on the sf0.1 driver query)
     ).localCheckpoint(eager=True)
-    # key-unique guard: a duplicated doc in one feed would land BOTH texts'
-    # band rows (silent index corruption); fail loudly instead — cheap over
-    # the checkpointed poll-sized feed
-    dup = ch.groupBy("doc_id").count().filter(F.col("count") > 1).limit(1).count()
-    if dup:
+    # key-unique guard + before-image completeness in ONE job over the
+    # checkpointed poll-sized feed (r7: these were two separate scans):
+    # a duplicated doc in one feed would land BOTH texts' band rows (silent
+    # index corruption) — fail loudly; a non-insert without a before-image
+    # disqualifies the exact before_image path.
+    has_ot = "_ot" in ch.columns
+    miss_e = (
+        F.sum(
+            F.when((F.col("_change") != "insert") & F.col("_ot").isNull(), 1).otherwise(0)
+        )
+        if has_ot
+        else F.lit(None)
+    )
+    guard = (
+        ch.groupBy("doc_id")
+        .agg(F.count("*").alias("_n"), miss_e.alias("_miss"))
+        .agg(F.max("_n").alias("mx"), F.sum("_miss").alias("miss"))
+        .collect()[0]
+    )
+    if (guard["mx"] or 0) > 1:
         raise ValueError(
             "changes feed must be key-unique per epoch (one row per doc; "
             "LWW-fold a multi-event stream first)"
         )
     changed_ids = ch.select("doc_id").distinct()
 
+    # _fan both signing inputs: the checkpointed feed is typically 1-3
+    # AQE-coalesced partitions, and md5-signing it serially dominated the
+    # r7 profile (6.5 s + 6.3 s of a 22 s call at local[32]/sf1.0)
     new_rows = _band_rows(
-        ch.filter(F.col("_change") != "delete").select("doc_id", F.col("_t").alias("_txt")),
+        _fan(ch.filter(F.col("_change") != "delete").select("doc_id", F.col("_t").alias("_txt"))),
         "_txt",
         p,
     ).localCheckpoint(eager=True)  # reused: parts collect + final union
-    new_parts = {r["part"] for r in new_rows.select("part").distinct().collect()}
 
     old_location = None
-    old_parts: set[int] = set()
     noninsert = ch.filter(F.col("_change") != "insert")
-    if "_ot" in ch.columns:
-        missing = noninsert.filter(F.col("_ot").isNull()).limit(1).count()
-        if missing == 0:
-            old_location = "before_image"
-            old_rows = _band_rows(
-                noninsert.select("doc_id", F.col("_ot").alias("_txt")), "_txt", p
-            )
-            old_parts = {r["part"] for r in old_rows.select("part").distinct().collect()}
-    if old_location is None and p.get("sidecar"):
+    # `affected` only ever needs NEW ∪ OLD parts — collect them in ONE job
+    # (a union of the two part projections) instead of one job per side
+    new_parts_df = new_rows.select("part")
+    if has_ot and int(guard["miss"] or 0) == 0:
+        old_location = "before_image"
+        old_rows = _band_rows(
+            _fan(noninsert.select("doc_id", F.col("_ot").alias("_txt"))), "_txt", p
+        )
+        affected_df = new_parts_df.unionByName(old_rows.select("part"))
+    elif p.get("sidecar"):
         # no before-images: the sidecar hands back the changed ids' OLD
         # band keys by bucket-pruned point lookup — O(changed), exact
         old_keys = _sidecar_table(spark, path, p).read_keys(noninsert.select("doc_id"))
-        old_parts = {
-            r["part"]
-            for r in old_keys.select(F.explode("band_keys").alias("bk"))
-            .select(F.pmod(F.col("bk"), F.lit(p["num_parts"])).alias("part"))
-            .distinct()
-            .collect()
-        }
+        affected_df = new_parts_df.unionByName(
+            old_keys.select(F.explode("band_keys").alias("bk")).select(
+                F.pmod(F.col("bk"), F.lit(p["num_parts"])).alias("part")
+            )
+        )
         old_location = "sidecar"
-    if old_location is None:
+    else:
         # neither before-images nor a sidecar: any partition may hold the
         # docs' old rows — the documented O(index) fallback
         old_location = "full"
-        old_parts = {
-            int(d.split("=")[1])
-            for d in os.listdir(index_dir)
-            if d.startswith("part=")
+        affected_df = new_parts_df
+    affected = {r["part"] for r in affected_df.distinct().collect()}
+    if old_location == "full":
+        affected |= {
+            int(d.split("=")[1]) for d in os.listdir(index_dir) if d.startswith("part=")
         }
+    affected = sorted(affected)
 
-    if p.get("sidecar"):
-        # keep the sidecar tracking the index (old keys above were read
-        # BEFORE this merge): new/updated docs overwrite their key list,
-        # deleted docs leave
-        import uuid
-
-        _sidecar_table(spark, path, p).merge(
-            new_rows.groupBy("doc_id").agg(F.collect_list("band_key").alias("band_keys")),
-            ch.filter(F.col("_change") == "delete").select("doc_id"),
-            epoch_id=epoch_id if epoch_id is not None else f"mhidx-{uuid.uuid4().hex[:12]}",
-        )
-
-    affected = sorted(new_parts | old_parts)
-    if not affected:
-        return {
-            "affected_parts": [],
-            "emptied_parts": [],
-            "exact_old_location": old_location != "full",
-            "old_location": old_location,
-        }
-
-    index = _read_index(spark, index_dir, p)
-    remaining = index.filter(F.col("part").isin(affected)).join(
-        F.broadcast(changed_ids), "doc_id", "left_anti"
-    )
-    # localCheckpoint: legal to overwrite the dirs we just read, and the
-    # affected slice is CDC-poll sized
-    out = (
-        remaining.select("doc_id", "band_id", "band_key", "part")
-        .unionByName(new_rows.select("doc_id", "band_id", "band_key", "part"))
-        .localCheckpoint(eager=True)
-    )
-    present = {r["part"] for r in out.select("part").distinct().collect()}
-    emptied = [c for c in affected if c not in present]
-    _write_index(out, index_dir, dynamic=True)
-    for c in emptied:
-        shutil.rmtree(os.path.join(index_dir, f"part={c}"), ignore_errors=True)
-    return {
+    res = {
         "affected_parts": affected,
-        "emptied_parts": emptied,
+        "emptied_parts": [],
         "exact_old_location": old_location != "full",
         "old_location": old_location,
     }
+    if affected:
+        index = _read_index(spark, index_dir, p)
+        remaining = index.filter(F.col("part").isin(affected)).join(
+            F.broadcast(changed_ids), "doc_id", "left_anti"
+        )
+        # localCheckpoint: legal to overwrite the dirs we just read, and the
+        # affected slice is CDC-poll sized
+        out = (
+            remaining.select("doc_id", "band_id", "band_key", "part")
+            .unionByName(new_rows.select("doc_id", "band_id", "band_key", "part"))
+            .localCheckpoint(eager=True)
+        )
+        present = {r["part"] for r in out.select("part").distinct().collect()}
+        emptied = [c for c in affected if c not in present]
+        _write_index(out, index_dir, dynamic=True)
+        for c in emptied:
+            shutil.rmtree(os.path.join(index_dir, f"part={c}"), ignore_errors=True)
+        res["emptied_parts"] = emptied
+
+    if p.get("sidecar"):
+        # keep the sidecar tracking the index. Merged AFTER _write_index
+        # (r7, ADVICE): a crash between the index rewrite and this merge
+        # leaves a STALE sidecar, which is safe — replaying the epoch
+        # derives the true old keys from the stale entries and removal
+        # stays exact; the pre-r7 order (sidecar first) left a POST-epoch
+        # sidecar over a pre-epoch index, so a replay's no-before-image
+        # path derived old_parts from the NEW keys and could orphan old
+        # index rows forever. Deletes also cover changed docs that produced
+        # NO band rows this epoch (defensive — ADVICE r6): their stale key
+        # lists would otherwise inflate old_parts on every later epoch.
+        import uuid
+
+        gone = ch.filter(F.col("_change") == "delete").select("doc_id").unionByName(
+            ch.filter(F.col("_change") != "delete")
+            .select("doc_id")
+            .join(new_rows.select("doc_id").distinct(), "doc_id", "left_anti")
+        )
+        _sidecar_table(spark, path, p).merge(
+            new_rows.groupBy("doc_id").agg(F.collect_list("band_key").alias("band_keys")),
+            gone,
+            epoch_id=epoch_id if epoch_id is not None else f"mhidx-{uuid.uuid4().hex[:12]}",
+        )
+    return res
 
 
 def probe_and_verify(
@@ -376,8 +418,12 @@ def probe_and_verify(
         matches = corpus_table.read_keys(
             cand_ids.select(F.col("doc_id").alias(table_key))
         ).select(F.col(table_key).alias("doc_id"), F.col(text_col).alias("text"))
-    # union, probe text winning for ids on both sides
-    docs = probes.unionByName(matches.join(probes.select("doc_id"), "doc_id", "left_anti"))
+    # union, probe text winning for ids on both sides; _fan: the union of a
+    # 1-partition checkpoint and a few bucket scans feeds the 3-gram
+    # shingling in jaccard_verify_pairs — spread it before that projection
+    docs = _fan(
+        probes.unionByName(matches.join(probes.select("doc_id"), "doc_id", "left_anti"))
+    )
     pairs = cand.select(F.col("probe_id").alias("a_id"), F.col("match_id").alias("b_id"))
     return jaccard_verify_pairs(docs, pairs, text_col="text", threshold=threshold)
 
@@ -407,7 +453,7 @@ def probe_near_dups(
     ``probed_parts``."""
     p = _load_params(path)
     pr = _band_rows(
-        probe_docs.select(F.col(id_col).alias("doc_id"), text_col), text_col, p
+        _fan(probe_docs.select(F.col(id_col).alias("doc_id"), text_col)), text_col, p
     ).localCheckpoint(eager=False)  # avoid re-signing once per use below
     # the partition filter is ALWAYS applied (≤ num_parts values, bounded);
     # the band_key row-group pushdown only for point-poll-sized probes

@@ -139,8 +139,14 @@ def with_ivf_cell(
         ).alias("c")
     ).agg(F.array_sort(F.collect_list("c")).alias("_cents"))
 
-    base = df.join(F.broadcast(cents_row))
-    vnorm = norm_expr(F.col(vec_col))
+    # r7: the row's own norm is computed ONCE per row in a prior projection.
+    # Embedded in the fold lambda it was re-evaluated per CENTROID (K 64-
+    # element folds per row doing identical work — higher-order-function
+    # lambdas are interpreted, not codegen'd, so Catalyst never CSE'd it);
+    # hoisting it halves the argmax cost at K=8. Same doubles, same 6-dp
+    # rounding — bit-identical cells.
+    base = df.join(F.broadcast(cents_row)).withColumn("_gdks_vn", norm_expr(F.col(vec_col)))
+    vnorm = F.col("_gdks_vn")
     init = F.struct(
         F.lit(-2.0).cast("double").alias("cos"), F.lit(None).cast("long").alias("cid")
     )
@@ -154,7 +160,7 @@ def with_ivf_cell(
         return F.when(cos > acc["cos"], F.struct(cos.alias("cos"), c["cid"].alias("cid"))).otherwise(acc)
 
     best = F.aggregate(F.col("_cents"), init, step)
-    return base.withColumn("cell", best["cid"]).drop("_cents")
+    return base.withColumn("cell", best["cid"]).drop("_cents", "_gdks_vn")
 
 
 def kmeans_train(
@@ -198,15 +204,29 @@ def kmeans_train(
         [(cid, [float(x) for x in r[vec_col]]) for cid, r in enumerate(seed)],
         "cid long, ce array<double>",
     )
+    # r7: the mean update aggregates per-POSITION columns directly
+    # (element_at + avg, one map-side-combinable shuffle of K×D partials)
+    # instead of posexploding N×D (pos, val) rows through the exchange —
+    # same F.avg over the same doubles, same 6-dp rounding, but the shuffle
+    # carries K×D aggregation buffers, not N×D rows. D comes from the seed
+    # vectors (the trained model is driver-scale by design).
+    dim = len(seed[0][vec_col])
     for _ in range(n_iter):
         assigned = with_ivf_cell(embeddings.select(id_col, vec_col), cents, vec_col)
         upd = (
-            assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(F.col("cell").alias("cid"), F.transform("pm", lambda s: s["m"]).alias("ce"))
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.round(
+                        F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")), 6
+                    ).alias(f"_m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .select(
+                F.col("cell").alias("cid"),
+                F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("ce"),
+            )
         )
         cents = (
             cents.withColumnRenamed("ce", "ce_prev")
@@ -268,6 +288,7 @@ def materialize_ivf(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    drift_baseline: bool = True,
 ) -> str:
     """Write the corpus as an IVF-partitioned table: one parquet partition
     per cell (``partitionBy('cell')``), plus the trained centroids alongside.
@@ -300,11 +321,18 @@ def materialize_ivf(
     # per-cell quantizer-fit BASELINE for drift tracking (maintain_ivf):
     # mean within-cell cosine spread at train time, so later updates can
     # measure degradation relative to the trained fit rather than absolute
-    # intra-cluster spread
+    # intra-cluster spread. ``drift_baseline=False`` skips the extra corpus
+    # pass (r6 verdict item 6: it regressed search-only builds 21-29%) —
+    # for a search-only table that never runs maintain_ivf the baseline is
+    # dead weight; drift.json still lands (empty base) so a later update's
+    # epoch counter and spread refresh keep working.
     import json
 
-    spark_s = embeddings.sparkSession
-    spread = _cell_spread(spark_s.read.parquet(corpus_dir), centroids, vec_col)
+    if drift_baseline:
+        spark_s = embeddings.sparkSession
+        spread = _cell_spread(spark_s.read.parquet(corpus_dir), centroids, vec_col)
+    else:
+        spread = {}
     with open(os.path.join(path, "drift.json"), "w") as f:
         json.dump({"base": spread, "last": dict(spread), "epochs_since_train": 0}, f)
     return path
