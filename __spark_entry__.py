@@ -1165,11 +1165,12 @@ def q_emb_ivf_kmeans(spark, sf_dir):
     then the trained-index summary per cell: member count, smallest member
     id, and the trained centroid's norm. Oracle = the same two rounds
     unrolled relationally (cross-join argmax + unnest/avg) in DuckDB."""
-    from go_dcp_kafka_spark.functions.similarity import kmeans_train, norm_expr, with_ivf_cell
+    from go_dcp_kafka_spark.functions.np_exact import with_ivf_cell_np
+    from go_dcp_kafka_spark.functions.similarity import kmeans_train, norm_expr
 
     emb = _read(spark, sf_dir, "embeddings")
     cents = kmeans_train(emb, k=8, n_iter=2)
-    assigned = with_ivf_cell(emb.select("vec_id", "embedding"), cents)
+    assigned = with_ivf_cell_np(emb.select("vec_id", "embedding"), cents)
     stats = assigned.groupBy("cell").agg(
         F.count("*").cast("long").alias("n_members"),
         F.min("vec_id").alias("min_vec_id"),

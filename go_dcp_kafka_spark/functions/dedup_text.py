@@ -51,11 +51,32 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature as scalar columns mh_0..mh_{k-1}.
+    """Per-doc MinHash signature as scalar columns mh_0..mh_{k-1}: each
+    permutation is min((a*h31(shingle)+b) mod p) over the distinct-shingle
+    set. Oracle-portable (md5-derived h31 + int64-safe products).
 
-    Pure projection — a scan with no shuffle; each permutation is
-    min((a*h31(shingle)+b) mod p) over the shingle array. Oracle-portable
-    (md5-derived h31 + int64-safe products)."""
+    r7: computed by the Arrow-batched native kernel
+    (:func:`np_exact.minhash_signatures_np`) — bit-equal to the JVM
+    expression twin below (pinned by tests/test_np_exact.py) but ~25x
+    faster per doc, because Spark evaluates higher-order-function lambdas
+    interpreted, not codegen'd, and this projection dominated every
+    minhash-family query (guide §4.2: batches to native code). Still a
+    scan-shaped, shuffle-free projection; only (doc_id, text) crosses the
+    Python boundary."""
+    from go_dcp_kafka_spark.functions.np_exact import minhash_signatures_np
+
+    return minhash_signatures_np(docs, text_col, num_hashes, shingle_words)
+
+
+def minhash_signatures_jvm(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """The pure-JVM expression twin of :func:`minhash_signatures` — kept as
+    the independent reference implementation the kernel is pinned against
+    (and for engines without Python workers)."""
     # distinct first: min over a multiset == min over its set, and md5 per
     # shingle is the dominant cost — hash each distinct shingle once
     sh = F.array_distinct(_word_shingles(text_col, shingle_words)).alias("_sh")
@@ -306,29 +327,50 @@ def embedding_near_duplicates(
     if sign_dims is None:
         n = n_vectors_hint if n_vectors_hint is not None else embeddings.count()
         sign_dims = auto_sign_dims(n)
-    from go_dcp_kafka_spark.functions.similarity import dot_expr, norm_expr, sign_bucket
+    from go_dcp_kafka_spark.functions.np_exact import cosine_bucket_pairs_np
+    from go_dcp_kafka_spark.functions.similarity import sign_bucket
 
-    # r7: each side's norm is computed ONCE per VECTOR before the bucket
-    # self-join instead of once per PAIR inside cosine_expr — with ~b
-    # vectors per bucket each vector sat in ~b pairs, so 2 of the 3
-    # 64-element folds per pair were redundant (the sf1.0 profile put pair
-    # scoring at 16.7 s of emb_dup_clusters' 20.6 s). dot/(na*nb) is the
-    # identical double arithmetic, so the 6-dp-rounded cosine is bit-equal.
+    # r7: the bucket self-join + per-pair interpreted cosine fold is
+    # replaced by a grouped Arrow kernel — each bucket's VECTORS cross the
+    # shuffle once and pairs are enumerated + scored natively with the
+    # sequential-fold dot/norm and exact 6-dp rounding (pinned bit-equal to
+    # the JVM join by tests/test_np_exact.py; pair scoring was 16.7 s of
+    # emb_dup_clusters' 20.6 s at sf1.0). Same skew shape: one bucket =
+    # one task, both before and after.
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        norm_expr(F.col(vec_col)).alias("nv"),
         sign_bucket(F.col(vec_col), sign_dims).alias("bucket"),
     )
-    a = e.select(F.col("id").alias("a_id"), F.col("v").alias("va"), F.col("nv").alias("na"), "bucket")
-    b = e.select(F.col("id").alias("b_id"), F.col("v").alias("vb"), F.col("nv").alias("nb"), "bucket")
+    return cosine_bucket_pairs_np(e, threshold).filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_duplicates_jvm(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_dims: int | None = 8,
+    threshold: float = 0.95,
+    n_vectors_hint: int | None = None,
+) -> DataFrame:
+    """Pure-JVM twin of :func:`embedding_near_duplicates` (bucket self-join
+    + per-pair cosine expression) — the reference implementation the
+    grouped kernel is pinned against."""
+    if sign_dims is None:
+        n = n_vectors_hint if n_vectors_hint is not None else embeddings.count()
+        sign_dims = auto_sign_dims(n)
+    from go_dcp_kafka_spark.functions.similarity import cosine_expr, sign_bucket
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), sign_dims).alias("bucket"),
+    )
+    a = e.select(F.col("id").alias("a_id"), F.col("v").alias("va"), "bucket")
+    b = e.select(F.col("id").alias("b_id"), F.col("v").alias("vb"), "bucket")
     return (
         a.join(b, "bucket")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
-        )
+        .select("a_id", "b_id", F.round(cosine_expr("va", "vb"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -211,8 +211,13 @@ def kmeans_train(
     # carries K×D aggregation buffers, not N×D rows. D comes from the seed
     # vectors (the trained model is driver-scale by design).
     dim = len(seed[0][vec_col])
+    from go_dcp_kafka_spark.functions.np_exact import with_ivf_cell_np
+
     for _ in range(n_iter):
-        assigned = with_ivf_cell(embeddings.select(id_col, vec_col), cents, vec_col)
+        # np assign kernel (pinned ≡ with_ivf_cell): the corpus-pass argmax
+        # is the training loop's dominant cost and the JVM fold runs
+        # interpreted — same cells, ~10x the throughput (guide §4.2)
+        assigned = with_ivf_cell_np(embeddings.select(id_col, vec_col), cents, vec_col)
         upd = (
             assigned.groupBy("cell")
             .agg(
@@ -273,9 +278,14 @@ def ivf_topk(
         .limit(nprobe)
         .collect()
     ]
-    # cell assignment inline on the scan (pure projection) — no self-join
+    # cell assignment inline on the scan — the np kernel (pinned ≡
+    # with_ivf_cell) because this inline variant re-assigns the whole
+    # corpus per query by construction (the materialized table is the
+    # scale path; this one exists as its correctness twin)
+    from go_dcp_kafka_spark.functions.np_exact import with_ivf_cell_np
+
     scored = (
-        with_ivf_cell(embeddings, cents, vec_col)
+        with_ivf_cell_np(embeddings.select(id_col, vec_col), cents, vec_col)
         .filter(F.col("cell").isin(probe_cells))
         .select(F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
     )
@@ -307,8 +317,12 @@ def materialize_ivf(
     corpus_dir = os.path.join(path, "corpus")
     cent_dir = os.path.join(path, "centroids")
     centroids.write.mode("overwrite").parquet(cent_dir)
+    from go_dcp_kafka_spark.functions.np_exact import with_ivf_cell_np
+
     (
-        with_ivf_cell(embeddings.select(id_col, vec_col), centroids, vec_col)
+        # np assign kernel (pinned ≡ with_ivf_cell) — the build's corpus
+        # pass; search-side pruning and layout are unchanged
+        with_ivf_cell_np(embeddings.select(id_col, vec_col), centroids, vec_col)
         .repartition(F.col("cell"))
         # in-task sort by id (no extra exchange): parquet row-group min/max
         # stats on the id column become selective, so update_ivf's
