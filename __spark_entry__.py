@@ -86,20 +86,27 @@ def _cents(col):
 # ============================================================ CDC operators
 def q_cdc_lww_fold(spark, sf_dir):
     """A6: last-write-wins fold — latest state per key (checkpoint LWW load,
-    kafka_metadata.go:48-129). Window dedup row_number()=1."""
-    from pyspark.sql import Window
-
+    kafka_metadata.go:48-129). r7: one ``max_by`` hash aggregate (map-side
+    partial combine — the same shape as the flagship fold) instead of a
+    row_number window, which materialized every event per key after the
+    shuffle; max over struct(ts, event_id) is exactly the window's
+    ORDER BY ts DESC, event_id DESC winner."""
     ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_type"),
-            _cents(F.col("value")).alias("last_cents"),
-        )
+    w = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                _cents(F.col("value")).alias("cents"),
+            ),
+            F.struct(F.col("ts"), F.col("event_id")),
+        ).alias("w")
+    )
+    return w.select(
+        "user_id",
+        F.col("w.event_id").alias("last_event_id"),
+        F.col("w.event_type").alias("last_type"),
+        F.col("w.cents").alias("last_cents"),
     )
 
 

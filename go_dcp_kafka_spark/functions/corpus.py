@@ -159,13 +159,17 @@ def contamination_check(
         .distinct()
     )
     bench_ids = benchmark.select(F.col(id_col)).distinct()
-    corpus_sh = (
-        docs.join(F.broadcast(bench_ids), id_col, "left_anti")
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(_word_shingles(text_col, shingle_words))).alias("sh"),
-        )
-        .select(id_col, md5_hash60(F.col("sh")).alias("sh_h"))
+    # r7: the corpus-side shingle hashing runs in the Arrow kernel
+    # (np_exact.shingle_hashes_np, pinned bit-equal to the JVM explode +
+    # md5_hash60 chain) — it was the dominant cost of the check; the
+    # broadcast join + per-doc count stay JVM-side
+    from go_dcp_kafka_spark.functions.np_exact import shingle_hashes_np
+
+    corpus_sh = shingle_hashes_np(
+        docs.join(F.broadcast(bench_ids), id_col, "left_anti"),
+        text_col,
+        shingle_words,
+        id_col=id_col,
     )
     return (
         corpus_sh.join(F.broadcast(bench_sh), "sh_h")

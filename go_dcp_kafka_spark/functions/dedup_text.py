@@ -186,9 +186,22 @@ def minhash_near_duplicates(
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """Per-doc SimHash via explode + bit-vote aggregation (one shuffle,
-    map-side combine; SQL-oracle-portable). Hamming-close simhashes =>
-    near-duplicate docs."""
+    """Per-doc SimHash. Hamming-close simhashes => near-duplicate docs.
+
+    r7: computed by the shuffle-free Arrow kernel (np_exact.simhash_np) —
+    the bit-vote is per-document arithmetic, so exploding every word
+    occurrence through a groupBy exchange (the JVM twin below) shuffled
+    N×tokens rows for a value each scan task can finish locally. Pinned
+    bit-equal to the twin by tests/test_np_exact.py."""
+    from go_dcp_kafka_spark.functions.np_exact import simhash_np
+
+    return simhash_np(docs, text_col, bits)
+
+
+def simhash_jvm(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Pure-JVM/SQL-portable twin of :func:`simhash` (explode + bit-vote
+    aggregation, one map-side-combined shuffle) — the reference
+    implementation the kernel is pinned against."""
     words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WS_TOKEN_RE), 0)
     w = docs.select("doc_id", F.explode(words).alias("word")).withColumn("h", h31(F.col("word")))
     votes = [

@@ -100,6 +100,175 @@ def minhash_signatures_np(
     return docs.select("doc_id", text_col).mapInPandas(kern, schema)
 
 
+def simhash_np(docs, text_col: str = "text", bits: int = 16):
+    """Shuffle-free SimHash kernel: the JVM path exploded every word
+    OCCURRENCE (N×tokens rows) through a groupBy bit-vote shuffle; the
+    vote is per-document arithmetic, so the kernel folds it inside the
+    scan — (doc_id, simhash) out, zero exchanges. Pure integer md5 math
+    (h31 per occurrence, +1/−1 per bit, bit set iff votes > 0) — bit-equal
+    by construction, pinned by tests/test_np_exact.py."""
+    import pandas as pd
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for j, text in enumerate(pdf[text_col].tolist()):
+                words = _JAVA_NONSPACE.findall(text.lower()) if text is not None else []
+                if not words:
+                    # JVM: explode of an empty/null words array emits no
+                    # rows, so the doc is ABSENT from the aggregate output
+                    out[j] = -1
+                    continue
+                h = _h31_array(words)
+                sim = 0
+                for i in range(bits):
+                    votes = (2 * ((h >> i) & 1) - 1).sum()
+                    if votes > 0:
+                        sim += 1 << i
+                out[j] = sim
+            res = pd.DataFrame({"doc_id": pdf["doc_id"].values, "simhash": out})
+            yield res[res["simhash"] >= 0]
+
+    return docs.select("doc_id", text_col).mapInPandas(kern, "doc_id long, simhash long")
+
+
+#: Java-\w twin for punct counting: [^\w\s] with ASCII \w and \s.
+_JAVA_PUNCT = re.compile(r"[^a-zA-Z0-9_ \t\n\x0b\f\r]")
+#: BPE-ish pre-tokenizer twin (textstats.BPE_TOKEN_RE with ASCII \s).
+_JAVA_BPE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]")
+_STOPSET = frozenset(("the", "a", "an", "of", "to", "and", "in", "is", "on", "for"))
+
+
+def text_profile_np(docs, text_col: str = "text", shingle_words: int = 8):
+    """Arrow-batched twin of ``textstats.text_profile`` — the composite
+    one-scan document profile. Every value reproduces the JVM expression
+    chain exactly (pinned by tests/test_np_exact.py): ASCII-class
+    tokenization, double-precision ratios with the same operation order,
+    the quality composite's left-associated weighted sum, exact 6-dp
+    HALF_UP rounding, and the JVM's null-text quirks (null token counts,
+    least()-skips-null giving len_score=1.0, null fingerprint)."""
+    import pandas as pd
+
+    def profile_one(text):
+        if text is None:
+            # JVM null-propagation path: size(null)=null counts, ratios'
+            # when() guards fall through to 0.0, least(null, 1.0) -> 1.0,
+            # and greatest(null-7, 1) -> 1 makes the fingerprint h31("")
+            # (concat_ws of a null slice), NOT null
+            q = (1.0 * 0.3 + 0.0 * 0.3) + 1.0 * 0.2 + 0.5 * 0.2
+            fp = int(hashlib.md5(b"").hexdigest()[:15], 16) % MINHASH_PRIME
+            return (None, None, 0.0, 0.0, q, "other", fp)
+        words = _JAVA_NONSPACE.findall(text.lower())
+        nw = len(words)
+        n_bpe = len(_JAVA_BPE.findall(text))
+        n_stop = sum(1 for w in words if w in _STOPSET)
+        stop = (n_stop / nw) if nw > 0 else 0.0
+        n_punct = len(_JAVA_PUNCT.findall(text))
+        punct = (n_punct / len(text)) if len(text) > 0 else 0.0
+        wl = (float(sum(len(w) for w in words)) / nw) if nw > 0 else 0.0
+        len_score = min(len(text) / 400.0, 1.0)
+        stop_score = min(stop * 5.0, 1.0)
+        punct_pen = max(1.0 - punct * 4.0, 0.0)
+        wl_score = 1.0 if (3.0 <= wl <= 10.0) else 0.5
+        quality = (len_score * 0.3 + stop_score * 0.3) + punct_pen * 0.2 + wl_score * 0.2
+        if nw >= shingle_words:
+            shingles = (
+                " ".join(words[i : i + shingle_words])
+                for i in range(nw - shingle_words + 1)
+            )
+        else:
+            shingles = (" ".join(words),)
+        p = MINHASH_PRIME
+        fp = min(
+            int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % p for s in shingles
+        )
+        return (nw, n_bpe, stop, punct, quality, "en" if stop >= 0.08 else "other", fp)
+
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    schema = (
+        f"doc_id {id_t}, n_tokens_ws int, n_tokens_bpe int, stopword_ratio double, "
+        "punct_ratio double, quality double, lang_pred string, fingerprint long"
+    )
+
+    def kern(batches) -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = [profile_one(t) for t in pdf[text_col].tolist()]
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "n_tokens_ws", "n_tokens_bpe", "stopword_ratio",
+                    "punct_ratio", "quality", "lang_pred", "fingerprint",
+                ],
+            )
+            out["stopword_ratio"] = round6_half_up(out["stopword_ratio"].to_numpy(dtype=np.float64))
+            out["punct_ratio"] = round6_half_up(out["punct_ratio"].to_numpy(dtype=np.float64))
+            out["quality"] = round6_half_up(out["quality"].to_numpy(dtype=np.float64))
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out["n_tokens_ws"] = out["n_tokens_ws"].astype("Int32")
+            out["n_tokens_bpe"] = out["n_tokens_bpe"].astype("Int32")
+            out["fingerprint"] = out["fingerprint"].astype("Int64")
+            yield out
+
+    return docs.select("doc_id", text_col).mapInPandas(kern, schema)
+
+
+def repetition_stats_np(docs, text_col: str = "text", gram_words: int = 2):
+    """Arrow-batched twin of ``textstats.repetition_stats`` (Gopher-style
+    duplicate/top n-gram fractions). Integer counts + one double division
+    each, rounded with the exact 6-dp HALF_UP twin; the JVM's empty/null
+    fallback (a single ``""``/whole-text gram) is reproduced. Pinned by
+    tests/test_np_exact.py."""
+    import pandas as pd
+    from collections import Counter
+
+    def one(text):
+        words = _JAVA_NONSPACE.findall(text.lower()) if text is not None else []
+        n = len(words)
+        if n >= gram_words:
+            grams = [" ".join(words[i : i + gram_words]) for i in range(n - gram_words + 1)]
+        else:
+            grams = [" ".join(words)]
+        total = len(grams)
+        counts = Counter(grams)
+        return (total, (total - len(counts)) / total, max(counts.values()) / total)
+
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    schema = f"doc_id {id_t}, n_grams long, dup_gram_frac double, top_gram_frac double"
+
+    def kern(batches) -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = [one(t) for t in pdf[text_col].tolist()]
+            out = pd.DataFrame(rows, columns=["n_grams", "dup_gram_frac", "top_gram_frac"])
+            out["dup_gram_frac"] = round6_half_up(out["dup_gram_frac"].to_numpy(dtype=np.float64))
+            out["top_gram_frac"] = round6_half_up(out["top_gram_frac"].to_numpy(dtype=np.float64))
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return docs.select("doc_id", text_col).mapInPandas(kern, schema)
+
+
+def shingle_hashes_np(docs, text_col: str, shingle_words: int, id_col: str = "doc_id"):
+    """Flat-map kernel: one (id, sh_h) row per DISTINCT word-k-gram of each
+    doc, sh_h = md5_hash60 of the shingle — the exact rows
+    ``explode(array_distinct(_word_shingles)) → md5_hash60`` produces (the
+    contamination check's corpus side). Pure integer md5; pinned by
+    tests/test_np_exact.py."""
+    import pandas as pd
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                for s in _shingle_set(text, shingle_words):
+                    ids.append(did)
+                    hs.append(int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16))
+            yield pd.DataFrame({id_col: ids, "sh_h": np.array(hs, dtype=np.int64)})
+
+    return docs.select(id_col, text_col).mapInPandas(kern, f"{id_col} {id_t}, sh_h long")
+
+
 # --------------------------------------------------------------------------
 # Exact float twins: Spark's F.round(double, 6) and the sequential
 # F.aggregate dot/norm folds, reproduced bit-for-bit in numpy.

@@ -91,6 +91,21 @@ def doc_fingerprint(text: Column, shingle_words: int = 8) -> Column:
 def text_profile(docs: DataFrame, text_col: str = "text", shingle_words: int = 8) -> DataFrame:
     """One-scan profile of a documents table (the composite operator).
 
+    r7: computed by the Arrow-batched native kernel
+    (np_exact.text_profile_np), pinned bit-equal to the JVM staged-
+    projection twin below by tests/test_np_exact.py — the regex/ratio/
+    fingerprint chain ran partly through interpreted higher-order
+    functions and the md5 fingerprint dominated. Still one scan, no
+    shuffle; only (doc_id, text) crosses the Python boundary."""
+    from go_dcp_kafka_spark.functions.np_exact import text_profile_np
+
+    return text_profile_np(docs, text_col, shingle_words)
+
+
+def text_profile_jvm(docs: DataFrame, text_col: str = "text", shingle_words: int = 8) -> DataFrame:
+    """Pure-JVM twin of :func:`text_profile` — the reference implementation
+    the kernel is pinned against.
+
     Built as STAGED projections so each ingredient (the tokenized words
     array, each ratio) is computed exactly once: naively composing the
     standalone functions above inlines regexp_extract_all ~20x per row into
@@ -153,6 +168,20 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", gram_words: int = 
     word n-grams and the fraction claimed by the single most frequent one —
     the standard filters for loopy/boilerplate text in pretraining corpora
     (Rae et al. 2021, 'Scaling Language Models', repetition heuristics).
+
+    r7: computed by the Arrow-batched native kernel
+    (np_exact.repetition_stats_np), pinned bit-equal to the JVM twin below
+    (the sorted-array run-length fold ran interpreted). Still zero
+    shuffles.
+    """
+    from go_dcp_kafka_spark.functions.np_exact import repetition_stats_np
+
+    return repetition_stats_np(docs, text_col, gram_words)
+
+
+def repetition_stats_jvm(docs: DataFrame, text_col: str = "text", gram_words: int = 2) -> DataFrame:
+    """Pure-JVM twin of :func:`repetition_stats` — the reference
+    implementation the kernel is pinned against.
 
     Scale shape: ZERO shuffles. The n-gram array never explodes into rows —
     duplicate fraction comes from ``array_distinct`` and the top-gram count

@@ -76,6 +76,66 @@ def test_minhash_kernel_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_text_profile_kernel_equals_jvm(spark):
+    from go_dcp_kafka_spark.functions.textstats import text_profile, text_profile_jvm
+
+    adv = [(i + 10_000_000, t) for i, t in ADVERSARIAL]
+    docs = spark.createDataFrame(adv, "doc_id long, text string").unionByName(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
+    )
+    _cmp(text_profile(docs), text_profile_jvm(docs))
+    assert [(f.name, f.dataType) for f in text_profile(docs).schema.fields] == [
+        (f.name, f.dataType) for f in text_profile_jvm(docs).schema.fields
+    ]
+
+
+def test_repetition_kernel_equals_jvm(spark):
+    from go_dcp_kafka_spark.functions.textstats import (
+        repetition_stats,
+        repetition_stats_jvm,
+    )
+
+    adv = [(i + 10_000_000, t) for i, t in ADVERSARIAL]
+    docs = spark.createDataFrame(adv, "doc_id long, text string").unionByName(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
+    )
+    _cmp(repetition_stats(docs), repetition_stats_jvm(docs))
+    assert [(f.name, f.dataType) for f in repetition_stats(docs).schema.fields] == [
+        (f.name, f.dataType) for f in repetition_stats_jvm(docs).schema.fields
+    ]
+
+
+def test_simhash_kernel_equals_jvm(spark):
+    from go_dcp_kafka_spark.functions.dedup_text import simhash, simhash_jvm
+
+    adv = [(i + 10_000_000, t) for i, t in ADVERSARIAL]
+    docs = spark.createDataFrame(adv, "doc_id long, text string").unionByName(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
+    )
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_jvm(docs).collect()}
+    assert a == b
+    # empty/null text absent, like the JVM explode
+    assert 10_000_002 not in a and 10_000_003 not in a
+
+
+def test_shingle_hash_kernel_equals_jvm(spark):
+    from go_dcp_kafka_spark.functions.dedup_text import _word_shingles
+    from go_dcp_kafka_spark.functions.hashing import md5_hash60
+    from go_dcp_kafka_spark.functions.np_exact import shingle_hashes_np
+
+    docs = spark.createDataFrame(ADVERSARIAL, "doc_id long, text string").unionByName(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
+    )
+    jvm = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_shingles("text", 8))).alias("sh"),
+    ).select("doc_id", md5_hash60(F.col("sh")).alias("sh_h"))
+    a = {(r["doc_id"], r["sh_h"]) for r in shingle_hashes_np(docs, "text", 8).collect()}
+    b = {(r["doc_id"], r["sh_h"]) for r in jvm.collect()}
+    assert a == b
+
+
 @pytest.mark.parametrize("k", [4, 16])
 def test_ivf_assign_kernel_equals_jvm(spark, k):
     from go_dcp_kafka_spark.functions.np_exact import with_ivf_cell_np
