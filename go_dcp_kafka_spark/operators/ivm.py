@@ -306,7 +306,27 @@ def apply_agg_deltas(
     gcols = list(agg_table.key_cols)
     # O(changed groups) rows: materialize once so the read_keys probe, the
     # join, and the merge's own passes don't re-run the changelog diff +
-    # delta shuffle behind it
+    # delta shuffle behind it. r7: the append-mostly fast-path probe ("did
+    # ANYTHING retract this epoch?") rides the same materialization as an
+    # Observation metric instead of a separate scan job afterwards.
+    retr_obs = None
+    if min_map or max_map:
+        from pyspark.sql import Observation
+
+        if reserve_r:
+            # reserve mode: every flag condition (exhaustion, truncation,
+            # legacy upgrade) requires at least one retracted ROW
+            any_retract = F.col("_d_retract_rows") > 0
+        else:
+            any_retract = F.lit(False)
+            # `_r_min_<c>`/`_r_max_<c>` are null on the same rows — probing
+            # the mins suffices
+            for c in dict.fromkeys([*min_map, *max_map]):
+                any_retract = any_retract | F.col(f"_r_min_{c}").isNotNull()
+        retr_obs = Observation("ivm_retract")
+        deltas = deltas.observe(
+            retr_obs, F.sum(any_retract.cast("long")).alias("n_retract_groups")
+        )
     deltas = deltas.localCheckpoint(eager=True)
     # both sides are O(changed groups): the probe reads only matching
     # buckets/row groups and returns at most one row per changed group, so
@@ -422,29 +442,25 @@ def apply_agg_deltas(
         *gcols, new_count.alias(count_col), *new_sums, *new_minmax, rc_flag.alias("_rc")
     )
     recomputed = 0
-    if min_map or max_map:
-        # Append-mostly fast path (the common CDC-ingest epoch): a group
-        # can only be flagged if SOMETHING was retracted (`need_rc`
-        # requires a non-null retracted extremum), so one cheap probe of
-        # the already-checkpointed O(changed groups) deltas — not another
-        # pass over `updated` — decides whether the flag machinery (second
-        # checkpoint + count) runs at all. `_r_min_<c>`/`_r_max_<c>` are
-        # null on exactly the same rows, so probing the mins suffices.
-        if reserve_r:
-            # reserve mode: every flag condition (exhaustion, truncation,
-            # legacy upgrade) requires at least one retracted ROW
-            any_retract = F.col("_d_retract_rows") > 0
-        else:
-            any_retract = F.lit(False)
-            for c in dict.fromkeys([*min_map, *max_map]):
-                any_retract = any_retract | F.col(f"_r_min_{c}").isNotNull()
-        has_retraction = bool(deltas.filter(any_retract).limit(1).count())
+    # Append-mostly fast path (the common CDC-ingest epoch): a group can
+    # only be flagged if SOMETHING was retracted (`need_rc` requires a
+    # non-null retracted extremum) — the Observation riding the deltas
+    # checkpoint above already answered that with zero extra jobs.
+    has_retraction = bool(retr_obs.get["n_retract_groups"] or 0) if retr_obs else False
     if (min_map or max_map) and has_retraction:
         # O(changed groups) rows — pin them so the flag collect, the
-        # recompute join, and the merge share one evaluation
-        updated = updated.localCheckpoint(eager=True)
+        # recompute join, and the merge share one evaluation; the flagged-
+        # group COUNT rides the same job as another Observation (r7 — it
+        # was a separate count job per epoch)
+        from pyspark.sql import Observation
+
+        rc_obs = Observation("ivm_flagged")
+        updated = updated.observe(
+            rc_obs,
+            F.sum((F.col("_rc") & (F.col(count_col) > 0)).cast("long")).alias("n_flagged"),
+        ).localCheckpoint(eager=True)
         flagged = updated.filter(F.col("_rc") & (F.col(count_col) > 0)).select(*gcols)
-        recomputed = flagged.count()
+        recomputed = int(rc_obs.get["n_flagged"] or 0)
         if recomputed:
             # ground-truth extrema for just the flagged groups: ONE
             # column-pruned scan of the base table, group-filtered by a

@@ -157,6 +157,19 @@ def main() -> None:
         else 0
     )
     structural_eff = util_hi * work_ratio
+    # r7 (r6 verdict item 1b): 4 pinned cores cannot exceed utilization 1.0
+    # — a higher reading means the JVM-cpu-second accounting caught threads
+    # outside the measurement window (C2 compiler, other processes named
+    # java) and the "steal-immune" metric is NOT evidence. Flag the session
+    # invalid instead of printing a flattering impossible number.
+    session_valid = util_hi <= 1.0
+    if not session_valid:
+        print(
+            f"WARNING: batch_core_utilization={util_hi} > 1.0 under pinned "
+            f"cores — JVM cpu accounting is contaminated; this session's "
+            f"structural_eff is INVALID evidence",
+            file=sys.stderr,
+        )
     if not full:
         print(
             json.dumps(
@@ -315,8 +328,17 @@ deterministic input, JVM/codegen warmup excluded from the timed window
 (sustained-throughput metric), wall-clock timed around read->fold->write.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # r7 (r6 verdict item 1a): a measurement tool must not clobber the
+    # hand-curated headline + disclosure history. Each session writes its
+    # own report file; promoting one to BENCH/BASELINE.md is a deliberate,
+    # reviewed edit.
+    import datetime
+
+    stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    out_path = os.path.join(REPO, "BENCH", f"session_{stamp}.md")
+    with open(out_path, "w") as f:
         f.write(md)
+    print(f"session report written to {out_path} (BASELINE.md untouched)")
     print(md)
     print(
         json.dumps(
@@ -325,6 +347,7 @@ deterministic input, JVM/codegen warmup excluded from the timed window
                 "structural_eff": structural_eff,
                 "util_4n": util_hi,
                 "work_ratio": work_ratio,
+                "session_valid": session_valid,
                 "stream_eff": stream_eff,
                 "mor_eff": mor_eff,
                 "calibration": cal,
