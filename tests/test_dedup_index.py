@@ -685,3 +685,57 @@ def test_probe_near_dups_pushdown_reported(spark, tmp_path):
     stats3 = {}
     out = probe_and_verify(spark, idx, probe, t, threshold=0.5, stats_out=stats3)
     assert out.count() >= 1 and stats3["band_key_pushdown"] is True
+
+
+def test_replay_after_crash_between_index_write_and_sidecar_merge(
+    spark, tmp_path, corpus_table
+):
+    """r7 (r6 ADVICE, medium): update_minhash now rewrites the INDEX before
+    merging the sidecar, so a crash between the two leaves a post-epoch
+    index with a STALE (pre-epoch) sidecar — the safe direction: replaying
+    the epoch on the no-before-image path derives the TRUE old keys from
+    the stale sidecar and removal stays exact. (The pre-r7 order left a
+    post-epoch sidecar over a pre-epoch index, so a replay derived
+    old_parts from the NEW keys and could orphan old rows forever.)"""
+    t = corpus_table
+    idx = str(tmp_path / "mh")
+    materialize_minhash(t.read(), idx, num_parts=64, bands=4)
+
+    v = t.version()
+    ups = spark.createDataFrame(
+        [(300, _text(300)), (5, "totally different text now here")],
+        "doc_id long, text string",
+    )
+    t.merge_mor(ups, spark.createDataFrame([(2,)], "doc_id long"), epoch_id="e0")
+    changes = t.read_changes(v)  # no before-images -> sidecar path
+
+    # snapshot the sidecar, apply the epoch, then RESTORE the sidecar:
+    # exactly the on-disk state a crash after _write_index leaves behind
+    side = os.path.join(idx, "sidecar")
+    side_bak = str(tmp_path / "sidecar_bak")
+    shutil.copytree(side, side_bak)
+    res1 = update_minhash(spark, idx, changes)
+    assert res1["old_location"] == "sidecar"
+    shutil.rmtree(side)
+    shutil.copytree(side_bak, side)
+
+    # replay the SAME epoch feed against the crashed state
+    res2 = update_minhash(spark, idx, t.read_changes(v))
+    assert res2["old_location"] == "sidecar"
+
+    rebuilt = str(tmp_path / "mh_full")
+    materialize_minhash(t.read(), rebuilt, num_parts=64, bands=4)
+    assert _index_rows(spark, idx) == _index_rows(spark, rebuilt)
+
+    # and the sidecar healed: a THIRD epoch still locates old rows exactly
+    v2 = t.version()
+    t.merge_mor(
+        spark.createDataFrame([(301, _text(301)), (300, _text(77))], "doc_id long, text string"),
+        spark.createDataFrame([(9,)], "doc_id long"),
+        epoch_id="e1",
+    )
+    res3 = update_minhash(spark, idx, t.read_changes(v2))
+    assert res3["old_location"] == "sidecar" and res3["exact_old_location"] is True
+    rebuilt2 = str(tmp_path / "mh_full2")
+    materialize_minhash(t.read(), rebuilt2, num_parts=64, bands=4)
+    assert _index_rows(spark, idx) == _index_rows(spark, rebuilt2)
